@@ -1,0 +1,352 @@
+"""Typed configuration system.
+
+The reference threads a flat argparse namespace everywhere (reference train.py:17-57,
+inference.py:13-51) with magic numbers inlined in the model file
+(reference models/llava_next_video.py:41-71). Here every subsystem gets a frozen,
+hashable dataclass so configs can be closed over by jit without retracing hazards,
+and the three training-stage presets (reference scripts/phi3.5_*_8_a100.sh) are
+first-class constructors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Vision encoders
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP ViT-L/14-336 spatial encoder (reference models/llava_next_video.py:56-71)."""
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    image_size: int = 336
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-5
+    # Penultimate-layer feature tap: run only the first (num_layers - 1) encoder
+    # layers; the reference takes hidden_states[-2] (llava_next_video.py:505).
+    feature_layer: int = -2
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2  # 576
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class InternVideo2Config:
+    """InternVideo2-1B temporal encoder (reference models/internvideo2.py:1089-1116).
+
+    The runtime path stops one block early (x_vis_return_idx=-2 →
+    blocks 0..depth-2 inclusive, reference internvideo2.py:1028-1030) and never
+    runs the CLIP-teacher heads, so only the trunk is modeled.
+    """
+
+    embed_dim: int = 1408
+    depth: int = 40
+    num_heads: int = 16
+    mlp_ratio: float = 48 / 11
+    image_size: int = 224
+    patch_size: int = 14
+    num_frames: int = 8  # frames per segment clip
+    tubelet_size: int = 1
+    qkv_bias: bool = False
+    qk_normalization: bool = True
+    rms_eps: float = 1e-6
+    layerscale_init: float = 1e-5
+    # Early exit: number of transformer blocks actually run (depth - 1 for
+    # x_vis_return_idx=-2: loop breaks *after* running block idx depth-2).
+    num_blocks_used: int = 39
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)  # 6144
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads  # 88
+
+    @property
+    def patches_per_frame(self) -> int:
+        return (self.image_size // self.patch_size) ** 2  # 256
+
+    @property
+    def seq_len(self) -> int:
+        # cls + T*L tokens
+        return 1 + (self.num_frames // self.tubelet_size) * self.patches_per_frame
+
+
+# ---------------------------------------------------------------------------
+# Language models
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    """Decoder-only causal LM covering Phi-3.5-mini and Llama-3-8B.
+
+    family: "phi3" → fused qkv/gate_up weights, LongRoPE-capable
+            (reference models/modeling_phi3.py); "llama" → GQA with separate
+            q/k/v, rope theta from config (reference models/modeling_llama.py).
+    """
+
+    family: str = "phi3"
+    vocab_size: int = 32064
+    hidden_size: int = 3072
+    intermediate_size: int = 8192
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 96
+    rms_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 131072
+    original_max_position_embeddings: int = 4096
+    # LongRoPE dual-factor scaling (reference modeling_phi3.py:371-409); tuples of
+    # per-dim factors, empty → plain RoPE.
+    rope_scaling_short: Tuple[float, ...] = ()
+    rope_scaling_long: Tuple[float, ...] = ()
+    tie_word_embeddings: bool = False
+    # Number of extra rows appended for temporal tokens + grounding token
+    # (reference llava_next_video.py:231-268): <0>..<300> plus <timestamp_grounding>.
+    num_extra_tokens: int = 0
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def padded_vocab_size(self) -> int:
+        return self.vocab_size + self.num_extra_tokens
+
+
+def phi35_mini_config(num_extra_tokens: int = 0) -> LLMConfig:
+    """Phi-3.5-mini-instruct 3.8B."""
+    return LLMConfig(
+        family="phi3",
+        vocab_size=32064,
+        hidden_size=3072,
+        intermediate_size=8192,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=32,
+        head_dim=96,
+        rms_eps=1e-5,
+        rope_theta=10000.0,
+        max_position_embeddings=131072,
+        original_max_position_embeddings=4096,
+        num_extra_tokens=num_extra_tokens,
+    )
+
+
+def llama3_8b_config(num_extra_tokens: int = 0) -> LLMConfig:
+    """Meta-Llama-3-8B (LLaVA-Next wiring)."""
+    return LLMConfig(
+        family="llama",
+        vocab_size=128256,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        rms_eps=1e-5,
+        rope_theta=500000.0,
+        max_position_embeddings=8192,
+        original_max_position_embeddings=8192,
+        num_extra_tokens=num_extra_tokens,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite VLM
+# ---------------------------------------------------------------------------
+
+NUM_TEMPORAL_TOKENS = 300  # <0>..<300> inclusive → 301 tokens
+NUM_SPECIAL_TOKENS = NUM_TEMPORAL_TOKENS + 1 + 1  # + <timestamp_grounding> = 302
+
+
+@dataclass(frozen=True)
+class VLMConfig:
+    """The composite dual-stream VLM (reference models/llava_next_video.py:73-268).
+
+    llm_name selects the fusion arithmetic:
+      phi3.5  → 2x2 patch-merge + sub_GN newlines → 156 spatial tokens/seg,
+                glb_GN-projected newline, 156+128+1 = 285 tokens/seg.
+      llama3  → avg-pool to 8x8 → 64 spatial tokens/seg, stored image_newline,
+                64+128+1 = 193 tokens/seg.
+    """
+
+    llm_name: str = "phi3.5"  # "phi3.5" | "llama3" | "vicuna"
+    num_frames: int = 96
+    num_segs: int = 12
+    num_temporal_tokens: int = NUM_TEMPORAL_TOKENS
+    max_txt_len: int = 2048
+    spatial_image_size: int = 336
+    temporal_image_size: int = 224
+    clip: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
+    video: InternVideo2Config = field(default_factory=InternVideo2Config)
+    llm: LLMConfig = field(default_factory=phi35_mini_config)
+
+    @property
+    def num_frames_per_seg(self) -> int:
+        return self.num_frames // self.num_segs
+
+    @property
+    def spatial_tokens_per_seg(self) -> int:
+        if self.llm_name == "phi3.5":
+            return 12 * 13  # 12 rows x (12 + 1 newline col) = 156
+        return 64
+
+    @property
+    def temporal_tokens_per_seg(self) -> int:
+        return self.num_frames_per_seg * 16  # pool to 4x4 per frame → 128
+
+    @property
+    def tokens_per_seg(self) -> int:
+        return self.spatial_tokens_per_seg + self.temporal_tokens_per_seg + 1
+
+    @property
+    def num_video_tokens(self) -> int:
+        # phi3.5: 12*285 = 3420; llama3: 12*193 = 2316 (reference :563)
+        return self.num_segs * self.tokens_per_seg
+
+
+def vlm_config(llm_name: str = "phi3.5", stage: str = "pretrain", **kw) -> VLMConfig:
+    """Build the full-size config for an LLM backend + training stage.
+
+    Vocab expansion (302 extra rows) applies in grounded/sft stages only
+    (reference llava_next_video.py:175,197).
+    """
+    extra = NUM_SPECIAL_TOKENS if stage in ("grounded", "sft", "inference") else 0
+    if llm_name == "phi3.5":
+        llm = phi35_mini_config(num_extra_tokens=extra)
+    elif llm_name in ("llama3", "vicuna"):
+        llm = llama3_8b_config(num_extra_tokens=extra)
+    else:
+        raise ValueError(f"unknown llm {llm_name!r}")
+    max_txt_len = 4096 if stage == "grounded" else 2048
+    defaults = dict(llm_name=llm_name, llm=llm, max_txt_len=max_txt_len)
+    defaults.update(kw)
+    return VLMConfig(**defaults)
+
+
+def tiny_vlm_config(llm_name: str = "phi3.5") -> VLMConfig:
+    """A miniature config for tests: same wiring, tiny dims, full token arithmetic."""
+    clip = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_layers=3, num_heads=4,
+        image_size=336, patch_size=14,
+    )
+    video = InternVideo2Config(
+        embed_dim=64, depth=3, num_heads=4, mlp_ratio=2.0,
+        image_size=224, patch_size=14, num_frames=8, num_blocks_used=2,
+    )
+    if llm_name == "phi3.5":
+        llm = LLMConfig(
+            family="phi3", vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,
+            num_extra_tokens=NUM_SPECIAL_TOKENS,
+        )
+    else:
+        llm = LLMConfig(
+            family="llama", vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+            rope_theta=500000.0, num_extra_tokens=NUM_SPECIAL_TOKENS,
+        )
+    return VLMConfig(llm_name=llm_name, clip=clip, video=video, llm=llm,
+                     num_frames=96, num_segs=12)
+
+
+# ---------------------------------------------------------------------------
+# Training stages
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class StageConfig:
+    """One training stage (reference scripts/phi3.5_{pretrain,grounded,sft}_8_a100.sh
+    + the frozen/trainable split in llava_next_video.py:155-210 and the optimizer
+    groups in training/fsdp.py:184-256)."""
+
+    name: str = "pretrain"
+    dataset: str = "mix_pretrain"
+    global_batch_size: int = 256
+    per_device_batch_size: int = 16
+    epochs: int = 1
+    max_txt_len: int = 2048
+    lora: bool = False
+    expand_vocab: bool = False
+    # learning rates by param group
+    lr_video_projector: float = 1e-3
+    lr_mm_projector: float = 1e-5
+    lr_llm: float = 0.0          # lm_head + embed rows (grounded/sft)
+    lr_lora: float = 0.0
+    warmup_ratio: float = 0.03
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    sharding: str = "shard-grad-op"  # "shard-grad-op" (ZeRO-2) | "full-shard" (ZeRO-3)
+
+
+STAGE_PRESETS = {
+    "pretrain": StageConfig(
+        name="pretrain", dataset="mix_pretrain", global_batch_size=256,
+        per_device_batch_size=16, epochs=1, max_txt_len=2048,
+        lora=False, expand_vocab=False,
+        lr_video_projector=1e-3, lr_mm_projector=1e-5,
+        sharding="shard-grad-op",
+    ),
+    "grounded": StageConfig(
+        name="grounded", dataset="mix_grounded", global_batch_size=128,
+        per_device_batch_size=16, epochs=3, max_txt_len=4096,
+        lora=True, expand_vocab=True,
+        lr_video_projector=2e-5, lr_mm_projector=2e-5, lr_llm=2e-5, lr_lora=2e-4,
+        sharding="full-shard",
+    ),
+    "sft": StageConfig(
+        name="sft", dataset="mix_sft", global_batch_size=96,
+        per_device_batch_size=12, epochs=1, max_txt_len=2048,
+        lora=True, expand_vocab=True,
+        lr_video_projector=2e-5, lr_mm_projector=2e-5, lr_llm=2e-5, lr_lora=2e-4,
+        sharding="full-shard",
+    ),
+}
+
+
+@dataclass(frozen=True)
+class GenerateConfig:
+    """Sampling defaults (reference inference.py:45-49, 170-176)."""
+
+    max_new_tokens: int = 2048
+    do_sample: bool = True
+    temperature: float = 0.2
+    top_p: Optional[float] = None
+    num_beams: int = 1
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes. data = DP (+ DCN replica), fsdp = param sharding over ICI,
+    tensor = optional TP within a replica (reference has no TP; SURVEY §2.5)."""
+
+    data: int = 1
+    fsdp: int = -1  # -1 → all remaining devices
+    tensor: int = 1
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,20 @@
+"""Test harness: force CPU with 8 virtual devices so multi-chip sharding logic
+is exercised without TPU hardware (SURVEY §4 implication (c))."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def demo_video():
+    path = "/root/reference/experiments/video0.mp4"
+    if not os.path.exists(path):
+        pytest.skip("demo video not available")
+    return path

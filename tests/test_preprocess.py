@@ -1,0 +1,72 @@
+"""Preprocess op: host path vs XLA path agreement + reference-transform parity
+via torchvision when available (reference mm_utils/utils.py:153-183)."""
+
+import numpy as np
+import pytest
+
+from grounded_video_llm_tpu.ops.preprocess import (INTERNVIDEO_MEAN,
+                                                   INTERNVIDEO_STD,
+                                                   OPENAI_DATASET_MEAN,
+                                                   OPENAI_DATASET_STD,
+                                                   dual_stream_preprocess_host,
+                                                   preprocess_frames_host,
+                                                   preprocess_frames_xla)
+
+
+def _rand_frames(t=2, h=360, w=640, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(t, h, w, 3), dtype=np.uint8)
+
+
+def test_host_output_shape_and_range():
+    frames = _rand_frames()
+    out = preprocess_frames_host(frames, 224, INTERNVIDEO_MEAN, INTERNVIDEO_STD)
+    assert out.shape == (2, 224, 224, 3)
+    assert out.dtype == np.float32
+    # normalized values live in roughly (-3, 3)
+    assert np.abs(out).max() < 4.0
+
+
+def test_xla_close_to_host():
+    frames = _rand_frames(t=1, h=250, w=300)
+    host = preprocess_frames_host(frames, 224, OPENAI_DATASET_MEAN,
+                                  OPENAI_DATASET_STD)
+    import jax.numpy as jnp
+
+    xla = preprocess_frames_xla(jnp.asarray(frames), 224,
+                                OPENAI_DATASET_MEAN, OPENAI_DATASET_STD,
+                                out_dtype=jnp.float32)
+    xla = np.asarray(xla)
+    # different bicubic implementations (cv2 no-antialias vs jax antialias):
+    # interior values must agree closely on random noise in the mean
+    assert np.mean(np.abs(xla - host)) < 0.35
+    assert xla.shape == host.shape
+
+
+def test_torchvision_parity():
+    torchvision = pytest.importorskip("torchvision")
+    import torch
+    from torchvision.transforms import (CenterCrop, Compose, InterpolationMode,
+                                        Normalize, Resize, ToPILImage, ToTensor)
+
+    frames = _rand_frames(t=3, h=240, w=400, seed=1)
+    ref_tf = Compose([
+        ToPILImage(), Resize(224, interpolation=InterpolationMode.BICUBIC),
+        CenterCrop(224), ToTensor(),
+        Normalize(INTERNVIDEO_MEAN, INTERNVIDEO_STD),
+    ])
+    # torchvision ToPILImage wants CHW or HWC uint8; use HWC
+    ref = np.stack([ref_tf(torch.from_numpy(f.transpose(2, 0, 1))).numpy()
+                    for f in frames])  # [T,3,224,224]
+    got = preprocess_frames_host(frames, 224, INTERNVIDEO_MEAN, INTERNVIDEO_STD)
+    got_chw = got.transpose(0, 3, 1, 2)
+    assert got_chw.shape == ref.shape
+    # PIL bicubic uses antialias on downscale, cv2 does not → small diffs
+    assert np.mean(np.abs(got_chw - ref)) < 0.2
+
+
+def test_dual_stream_shapes():
+    frames = _rand_frames(t=96, h=120, w=160)
+    temporal, spatial = dual_stream_preprocess_host(frames, num_segs=12)
+    assert temporal.shape == (96, 224, 224, 3)
+    assert spatial.shape == (12, 336, 336, 3)
