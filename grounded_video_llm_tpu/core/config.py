@@ -272,6 +272,16 @@ def tiny_vlm_config(llm_name: str = "phi3.5") -> VLMConfig:
                      num_frames=96, num_segs=12)
 
 
+def micro_vlm_config(llm_name: str = "phi3.5") -> VLMConfig:
+    """Even smaller than tiny: 8 frames / 2 segs, for compute-path tests that
+    must run in seconds on a single CPU core. Keeps the real patch grids
+    (336/14=24, 224/14=16) so the merge/pool arithmetic is exercised."""
+    base = tiny_vlm_config(llm_name)
+    video = replace(base.video, num_frames=4, depth=2, num_blocks_used=2)
+    clip = replace(base.clip, num_layers=2)
+    return replace(base, num_frames=8, num_segs=2, video=video, clip=clip)
+
+
 # ---------------------------------------------------------------------------
 # Training stages
 # ---------------------------------------------------------------------------

@@ -1,0 +1,192 @@
+"""InternVideo2-1B temporal encoder — pure-function JAX.
+
+Architecture parity with reference models/internvideo2.py:766-1087 on the
+runtime path (x_vis_only=True, x_vis_return_idx=-2): 3D patch embed
+(tubelet=1 → per-frame 14x14 conv), CLS + 3D sin-cos positions, then
+depth-1 (=39 of 40) pre-RMSNorm blocks with QK-RMSNorm-over-flattened-heads
+(internvideo2.py:590-597), fp32-forced LayerScale (:458-463), exact-GELU MLP
+(hidden = int(1408*48/11) = 6144), non-causal attention. The CLIP-teacher
+projector/decoder heads never run at inference/training in the VLM and are
+not modeled.
+
+Param tree (stacked blocks for lax.scan):
+  patch_kernel [P,P,3,D], patch_bias [D]
+  cls_token [D], pos_embed [1+T*L, D]
+  blocks: {norm1_w [Lyr,D], qkv_kernel [Lyr,D,3D], q_norm_w, k_norm_w [Lyr,D],
+           proj {kernel,bias}, ls1 [Lyr,D], norm2_w,
+           fc1 {kernel,bias}, fc2 {kernel,bias}, ls2 [Lyr,D]}
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import InternVideo2Config
+from ..ops.attention import mha
+from ..ops.normalization import layer_scale, rms_norm
+
+
+# ---------------------------------------------------------------------------
+# 3D sin-cos position embeddings (reference internvideo2.py:33-160)
+# ---------------------------------------------------------------------------
+
+
+def _sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("m,d->md", pos.reshape(-1), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_3d_sincos_pos_embed(embed_dim: int, grid_size: int, t_size: int,
+                            cls_token: bool = False) -> np.ndarray:
+    """[T*H*W, D] (optionally with a leading zero CLS row). Temporal gets D/4
+    dims, spatial 3D/4 (h and w each 3D/8), concatenated [temporal|spatial]."""
+    assert embed_dim % 4 == 0
+    dim_spatial = embed_dim // 4 * 3
+    dim_temporal = embed_dim // 4
+
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0)  # w first
+    emb_h = _sincos_1d(dim_spatial // 2, grid[0])
+    emb_w = _sincos_1d(dim_spatial // 2, grid[1])
+    pos_spatial = np.concatenate([emb_h, emb_w], axis=1)        # [H*W, 3D/4]
+
+    pos_temporal = _sincos_1d(dim_temporal, np.arange(t_size, dtype=np.float32))
+
+    pos_temporal = np.repeat(pos_temporal[:, None, :], grid_size ** 2, axis=1)
+    pos_spatial = np.repeat(pos_spatial[None, :, :], t_size, axis=0)
+    pos = np.concatenate([pos_temporal, pos_spatial], axis=-1).reshape(-1, embed_dim)
+    if cls_token:
+        pos = np.concatenate([np.zeros((1, embed_dim)), pos], axis=0)
+    return pos.astype(np.float32)
+
+
+def interpolate_temporal_pos_embed(pos_embed: np.ndarray, orig_t: int,
+                                   new_t: int, spatial_tokens: int) -> np.ndarray:
+    """Linearly interpolate the temporal axis of a [1+T*L, D] pos embed
+    (reference internvideo2.py:260-320 does this when loading the 4-frame
+    checkpoint into an 8-frame model)."""
+    cls_row, rest = pos_embed[:1], pos_embed[1:]
+    D = pos_embed.shape[-1]
+    grid = rest.reshape(orig_t, spatial_tokens, D)
+    # linear interpolation along t (matches torch interpolate mode='linear'
+    # with align_corners=False semantics used on pos embeds)
+    old_pos = (np.arange(orig_t) + 0.5) / orig_t
+    new_pos = (np.arange(new_t) + 0.5) / new_t
+    out = np.empty((new_t, spatial_tokens, D), dtype=pos_embed.dtype)
+    for j, p in enumerate(new_pos):
+        x = p * orig_t - 0.5
+        lo = int(np.floor(x))
+        hi = min(lo + 1, orig_t - 1)
+        w = x - lo
+        lo = max(lo, 0)
+        out[j] = (1 - w) * grid[lo] + w * grid[hi]
+    return np.concatenate([cls_row, out.reshape(-1, D)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: InternVideo2Config, dtype=jnp.float32):
+    D, Lyr = cfg.embed_dim, cfg.depth
+    I = cfg.mlp_hidden
+    P = cfg.patch_size
+    keys = jax.random.split(key, 8)
+    init = jax.nn.initializers.truncated_normal(0.02)
+
+    def dense(k, d_in, d_out):
+        return {"kernel": init(k, (Lyr, d_in, d_out), dtype),
+                "bias": jnp.zeros((Lyr, d_out), dtype)}
+
+    t = cfg.num_frames // cfg.tubelet_size
+    pos = get_3d_sincos_pos_embed(D, cfg.image_size // P, t, cls_token=True)
+    return {
+        "patch_kernel": init(keys[0], (P, P, 3, D), dtype),
+        "patch_bias": jnp.zeros((D,), dtype),
+        "cls_token": jnp.zeros((D,), dtype),
+        "pos_embed": jnp.asarray(pos, dtype),
+        "blocks": {
+            "norm1_w": jnp.ones((Lyr, D), dtype),
+            "qkv_kernel": init(keys[1], (Lyr, D, 3 * D), dtype),
+            "q_norm_w": jnp.ones((Lyr, D), dtype),
+            "k_norm_w": jnp.ones((Lyr, D), dtype),
+            "proj": dense(keys[2], D, D),
+            "ls1": jnp.full((Lyr, D), cfg.layerscale_init, dtype),
+            "norm2_w": jnp.ones((Lyr, D), dtype),
+            "fc1": dense(keys[3], D, I),
+            "fc2": dense(keys[4], I, D),
+            "ls2": jnp.full((Lyr, D), cfg.layerscale_init, dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _block(x, bp, cfg: InternVideo2Config):
+    B, S, D = x.shape
+    H = cfg.num_heads
+    Dh = cfg.head_dim
+
+    h = rms_norm(x, bp["norm1_w"], cfg.rms_eps)
+    qkv = h @ bp["qkv_kernel"]  # [B, S, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if cfg.qk_normalization:
+        # RMSNorm over the *flattened* head dim (reference internvideo2.py:590-597)
+        q = rms_norm(q, bp["q_norm_w"], cfg.rms_eps)
+        k = rms_norm(k, bp["k_norm_w"], cfg.rms_eps)
+    q = q.reshape(B, S, H, Dh)
+    k = k.reshape(B, S, H, Dh)
+    v = v.reshape(B, S, H, Dh)
+    attn = mha(q, k, v, causal=False).reshape(B, S, D)
+    attn = attn @ bp["proj"]["kernel"] + bp["proj"]["bias"]
+    x = x + layer_scale(attn, bp["ls1"])
+
+    h = rms_norm(x, bp["norm2_w"], cfg.rms_eps)
+    h = jax.nn.gelu(h @ bp["fc1"]["kernel"] + bp["fc1"]["bias"], approximate=False)
+    h = h @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
+    return x + layer_scale(h, bp["ls2"])
+
+
+def patch_embed(params, cfg: InternVideo2Config, pixels: jnp.ndarray) -> jnp.ndarray:
+    """pixels [B, T, S, S, 3] → [B, T*L, D]. tubelet=1 → per-frame 2D conv
+    (the reference's Conv3d with kernel (1,14,14), internvideo2.py:714-718)."""
+    B, T, Hp, Wp, C = pixels.shape
+    dtype = params["patch_kernel"].dtype
+    flat = pixels.reshape(B * T, Hp, Wp, C).astype(dtype)
+    patches = jax.lax.conv_general_dilated(
+        flat, params["patch_kernel"],
+        window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_bias"]
+    return patches.reshape(B, T * cfg.patches_per_frame, cfg.embed_dim)
+
+
+def features(params, cfg: InternVideo2Config, pixels: jnp.ndarray) -> jnp.ndarray:
+    """Run the trunk with early exit; returns [B, 1+T*L, D] (CLS included —
+    callers drop it, matching reference llava_next_video.py:532's [:, 1:, :])."""
+    x = patch_embed(params, cfg, pixels)
+    B = x.shape[0]
+    dtype = x.dtype
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                           (B, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(dtype)
+
+    blocks = jax.tree_util.tree_map(lambda a: a[:cfg.num_blocks_used],
+                                    params["blocks"])
+
+    def body(h, bp):
+        return _block(h, bp, cfg), None
+
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x

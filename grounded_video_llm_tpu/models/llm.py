@@ -1,0 +1,228 @@
+"""Decoder-only causal LM: Phi-3.5-mini and Llama-3 in one functional module.
+
+Architecture parity:
+  phi3  — fused qkv_proj / gate_up_proj, SiLU-gated MLP, LongRoPE-capable,
+          no attention/MLP biases (reference models/modeling_phi3.py:448-611).
+  llama — separate q/k/v (GQA, 8 kv heads), rope theta from config
+          (reference models/modeling_llama.py:207-401).
+Both: pre-RMSNorm blocks, fp32 logits (reference modeling_phi3.py:1524-1526).
+
+Weights are stored in the *fused* layout for both families (llama's separate
+q/k/v concatenate into qkv at conversion time) — one [D, (H+2Hkv)*Dh] matmul
+keeps the MXU busy and simplifies tensor-parallel sharding. Layers are stacked
+along a leading axis and executed with lax.scan (fast compile, rematerializable,
+shardable by annotating the per-layer dims).
+
+Decode uses a fixed-shape KV cache ([L, B, max_len, Hkv, Dh]) with a validity
+length — the static-shape TPU replacement for HF DynamicCache (SURVEY §3.5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LLMConfig
+from ..ops.attention import decode_attention, mha
+from ..ops.normalization import rms_norm
+from ..ops.rope import apply_rope, llm_rope_tables
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray      # [L, B, max_len, Hkv, Dh]
+    v: jnp.ndarray      # [L, B, max_len, Hkv, Dh]
+    length: jnp.ndarray  # [B] int32 — number of valid positions
+
+    @classmethod
+    def create(cls, cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((batch,), jnp.int32))
+
+
+def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32):
+    D = cfg.hidden_size
+    I = cfg.intermediate_size
+    L = cfg.num_layers
+    V = cfg.padded_vocab_size
+    qkv_out = cfg.q_dim + 2 * cfg.kv_dim
+    keys = jax.random.split(key, 8)
+    init = jax.nn.initializers.normal(0.02)
+    return {
+        "embed": init(keys[0], (V, D), dtype),
+        "layers": {
+            "input_norm_w": jnp.ones((L, D), dtype),
+            "qkv_kernel": init(keys[1], (L, D, qkv_out), dtype),
+            "o_kernel": init(keys[2], (L, cfg.q_dim, D), dtype),
+            "post_norm_w": jnp.ones((L, D), dtype),
+            "gate_up_kernel": init(keys[3], (L, D, 2 * I), dtype),
+            "down_kernel": init(keys[4], (L, I, D), dtype),
+        },
+        "final_norm_w": jnp.ones((D,), dtype),
+        "lm_head": init(keys[5], (D, V), dtype),
+    }
+
+
+def _qkv(x, lp, cfg: LLMConfig):
+    B, S, _ = x.shape
+    qkv = x @ lp["qkv_kernel"]
+    q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+    return (q.reshape(B, S, cfg.num_heads, cfg.head_dim),
+            k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim),
+            v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim))
+
+
+def _mlp(h, lp, cfg: LLMConfig):
+    gate_up = h @ lp["gate_up_kernel"]
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    return (jax.nn.silu(gate) * up) @ lp["down_kernel"]
+
+
+def _layer_full(x, lp, cfg: LLMConfig, cos, sin, attn_mask):
+    """Full-sequence (train / prefill) layer. Returns (x, (k, v)) so prefill
+    can collect the cache."""
+    B, S, D = x.shape
+    h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
+    q, k, v = _qkv(h, lp, cfg)
+    q, k = apply_rope(q, k, cos, sin)
+    attn = mha(q, k, v, causal=True, mask=attn_mask).reshape(B, S, cfg.q_dim)
+    x = x + attn @ lp["o_kernel"]
+    h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
+    x = x + _mlp(h, lp, cfg)
+    return x, (k, v)
+
+
+def forward_hidden(
+    params,
+    cfg: LLMConfig,
+    inputs_embeds: jnp.ndarray,     # [B, S, D]
+    attn_mask: Optional[jnp.ndarray] = None,  # [B, S] 1/0
+    positions: Optional[jnp.ndarray] = None,  # [B, S]
+    remat: bool = False,
+    collect_kv: bool = False,
+):
+    """Run all decoder layers; returns (hidden [B,S,D], stacked (k,v) or None)."""
+    B, S, D = inputs_embeds.shape
+    if positions is None:
+        if attn_mask is not None:
+            # left-padded prompts: position = cumsum of mask - 1, clamped
+            positions = jnp.maximum(jnp.cumsum(attn_mask, axis=-1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    cos, sin = llm_rope_tables(cfg, positions, seq_len_hint=S)
+    x = inputs_embeds
+
+    layer_fn = _layer_full
+    if remat:
+        layer_fn = jax.checkpoint(_layer_full, static_argnums=(2,))
+
+    def body(h, lp):
+        h2, kv = layer_fn(h, lp, cfg, cos, sin, attn_mask)
+        return h2, (kv if collect_kv else None)
+
+    x, kvs = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
+    return x, kvs
+
+
+def logits_from_hidden(params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """fp32 logits (reference modeling_phi3.py:1524-1526)."""
+    return hidden.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+
+
+def forward_logits(params, cfg, inputs_embeds, attn_mask=None, positions=None,
+                   remat: bool = False) -> jnp.ndarray:
+    hidden, _ = forward_hidden(params, cfg, inputs_embeds, attn_mask, positions,
+                               remat=remat)
+    return logits_from_hidden(params, hidden)
+
+
+def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                   ignore_index: int = -100) -> jnp.ndarray:
+    """Shifted cross-entropy in fp32, mean over non-ignored targets
+    (HF CausalLM loss semantics, reference modeling_phi3.py:1528-1540)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, -token_ll, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count
+
+
+# ---------------------------------------------------------------------------
+# Prefill / decode with KV cache
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
+    attn_mask: jnp.ndarray, cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the prompt once, populate the cache, return last-position logits.
+
+    Prompts are left-padded (reference llava_next_video.py:630-647), so the
+    last position is always the newest token. The cache stores the full padded
+    prefix; padded slots are masked by storing their validity in the attention
+    length via the *padded* length and re-masking at decode with the original
+    attn_mask prefix."""
+    B, S, D = inputs_embeds.shape
+    hidden, kvs = forward_hidden(params, cfg, inputs_embeds, attn_mask,
+                                 collect_kv=True)
+    k_stack, v_stack = kvs  # [L, B, S, Hkv, Dh]
+    max_len = cache.k.shape[2]
+    k_new = jax.lax.dynamic_update_slice(
+        cache.k, k_stack.astype(cache.k.dtype), (0, 0, 0, 0, 0))
+    v_new = jax.lax.dynamic_update_slice(
+        cache.v, v_stack.astype(cache.v.dtype), (0, 0, 0, 0, 0))
+    length = jnp.full((B,), S, jnp.int32)
+    logits = logits_from_hidden(params, hidden[:, -1:, :])
+    return logits[:, 0], KVCache(k_new, v_new, length)
+
+
+def decode_step(
+    params, cfg: LLMConfig, token_embeds: jnp.ndarray,  # [B, 1, D]
+    cache: KVCache, valid_mask: jnp.ndarray,  # [B, max_len] — attendable slots
+    positions: jnp.ndarray,  # [B] position ids of the new token
+) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
+    """One decode step: append k/v at slot cache.length, attend over valid
+    slots (valid_mask covers left-padding holes from the prefill). Returns
+    (logits [B, V], cache, updated valid_mask)."""
+    B = token_embeds.shape[0]
+    max_len = cache.k.shape[2]
+    cos, sin = llm_rope_tables(cfg, positions[:, None], seq_len_hint=max_len)
+
+    write_idx = cache.length  # [B]
+    slot = jnp.arange(max_len)[None, :] == write_idx[:, None]
+    valid_mask = valid_mask.astype(bool) | slot
+
+    def body(x, layer_inputs):
+        lp, k_cache, v_cache = layer_inputs  # caches [B, max_len, Hkv, Dh]
+        h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg)
+        q, k = apply_rope(q, k, cos, sin)
+
+        def write(cache_arr, new_val):
+            def one(c, nv, idx):  # c [max_len,Hkv,Dh], nv [Hkv,Dh]
+                return jax.lax.dynamic_update_slice(c, nv[None], (idx, 0, 0))
+            return jax.vmap(one)(cache_arr, new_val.astype(cache_arr.dtype),
+                                 write_idx)
+
+        k_cache = write(k_cache, k[:, 0])
+        v_cache = write(v_cache, v[:, 0])
+        attn = decode_attention(q, k_cache, v_cache, valid_mask)
+        x = x + attn.reshape(B, 1, cfg.q_dim) @ lp["o_kernel"]
+        h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
+        x = x + _mlp(h, lp, cfg)
+        return x, (k_cache, v_cache)
+
+    x, new_kv = jax.lax.scan(body, token_embeds,
+                             (params["layers"], cache.k, cache.v))
+    k_new, v_new = new_kv
+    x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
+    logits = logits_from_hidden(params, x)[:, 0]
+    return logits, KVCache(k_new, v_new, cache.length + 1), valid_mask

@@ -1,0 +1,102 @@
+"""Attention: XLA reference implementation + dispatch to Pallas flash kernels.
+
+Replaces flash-attn CUDA (reference internvideo2.py:473-536 packed non-causal;
+modeling_phi3.py:613-921 / modeling_llama.py:402-696 causal+GQA) with:
+  * a numerically careful XLA path (fp32 softmax, works everywhere, used on CPU
+    tests and as the autodiff-friendly fallback), and
+  * Pallas splash/flash kernels on TPU (ops/flash_attention.py) for the hot
+    shapes, selected by `use_flash`.
+
+Layout convention everywhere: [B, S, H, D] ("BSHD"), GQA by head-group einsum —
+no materialized K/V head repeat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _flash_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def mha(
+    q: jnp.ndarray,              # [B, Sq, H, D]
+    k: jnp.ndarray,              # [B, Sk, Hkv, D]
+    v: jnp.ndarray,              # [B, Sk, Hkv, D]
+    *,
+    causal: bool = False,
+    mask: Optional[jnp.ndarray] = None,   # [B, Sk] keep-mask or [B,1,Sq,Sk] bias-mask
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention with fp32 softmax. Returns [B, Sq, H, D]."""
+    if use_flash is None:
+        use_flash = _flash_available()
+    if use_flash:
+        try:
+            from .flash_attention import flash_mha
+
+            return flash_mha(q, k, v, causal=causal, mask=mask, scale=scale)
+        except Exception:
+            pass  # fall through to XLA path
+    return xla_mha(q, k, v, causal=causal, mask=mask, scale=scale)
+
+
+def xla_mha(q, k, v, *, causal=False, mask=None, scale=None):
+    B, Sq, H, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    if scale is None:
+        scale = D ** -0.5
+    groups = H // Hkv
+    qg = q.reshape(B, Sq, Hkv, groups, D)
+    # scores [B, Hkv, groups, Sq, Sk] — fp32 accumulate on the MXU
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    neg = jnp.finfo(jnp.float32).min
+    if causal:
+        # positions: offset so the last query attends to the full key range
+        qpos = jnp.arange(Sq)[:, None] + (Sk - Sq)
+        kpos = jnp.arange(Sk)[None, :]
+        scores = jnp.where((kpos <= qpos)[None, None, None], scores, neg)
+    if mask is not None:
+        if mask.ndim == 2:  # [B, Sk] keep-mask
+            scores = jnp.where(mask[:, None, None, None, :].astype(bool), scores, neg)
+        else:  # [B, 1, Sq, Sk]
+            scores = jnp.where(mask[:, :, None].astype(bool), scores, neg)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, Sq, H, D).astype(q.dtype)
+
+
+def decode_attention(
+    q: jnp.ndarray,              # [B, 1, H, D]
+    k_cache: jnp.ndarray,        # [B, L, Hkv, D]
+    v_cache: jnp.ndarray,        # [B, L, Hkv, D]
+    valid_mask: jnp.ndarray,     # [B, L] — 1 for attendable cache slots
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Single-token decode attention over a fixed-size cache with an explicit
+    slot-validity mask (covers left-padding holes in the prefix) — the
+    static-shape TPU replacement for HF DynamicCache (reference
+    modeling_phi3.py:567-569, SURVEY §3.5)."""
+    B, L, Hkv, D = k_cache.shape
+    H = q.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    groups = H // Hkv
+    qg = q.reshape(B, Hkv, groups, D)
+    scores = jnp.einsum("bhgd,bkhd->bhgk", qg, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(valid_mask[:, None, None, :].astype(bool), scores,
+                       jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhgk,bkhd->bhgd", probs.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, 1, H, D).astype(q.dtype)

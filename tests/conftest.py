@@ -1,13 +1,20 @@
 """Test harness: force CPU with 8 virtual devices so multi-chip sharding logic
-is exercised without TPU hardware (SURVEY §4 implication (c))."""
+is exercised without TPU hardware (SURVEY §4 implication (c)).
+
+Note: the axon sitecustomize registers the TPU backend in every interpreter and
+overrides JAX_PLATFORMS from the environment, so the CPU override must go
+through jax.config after import (verified: env-var alone is ignored)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
