@@ -1,0 +1,117 @@
+"""High-level inference engine — the public API matching reference inference.py.
+
+Pipeline (reference inference.py:65-190): video file → 96-frame 'middle'
+sampling → dual-stream preprocess → prompt build (qa / grounding / referring
+modes) → generate → temporal-token parsing.
+
+    engine = InferenceEngine(params, cfg, tokenizer)
+    result = engine.run(video_path, prompt, mode="grounding")
+    result.text           # raw generated text
+    result.parsed         # <n> tokens rendered as seconds
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import GenerateConfig, VLMConfig
+from ..ops.preprocess import dual_stream_preprocess_host
+from ..text import codec
+from ..text.templates import (DEFAULT_IMAGE_TOKEN, GROUNDING_TOKEN,
+                              get_template)
+from ..text.tokenizer import pad_batch_generate, tokenize_with_image
+from ..video.reader import read_frames
+from .generate import decode_texts, generate_tokens
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    text: str
+    parsed: str
+    duration: float
+    intervals: List[tuple]
+
+
+class InferenceEngine:
+    def __init__(self, params, cfg: VLMConfig, tokenizer,
+                 gen_cfg: Optional[GenerateConfig] = None,
+                 seed: int = 42, param_dtype=None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.gen_cfg = gen_cfg or GenerateConfig()
+        self.template = get_template(cfg.llm_name)
+        self._rng = jax.random.key(seed)
+
+    # -- input construction (reference inference.py:65-123) -----------------
+
+    def build_prompt(self, prompt: str, mode: str, duration: float) -> str:
+        assert mode in ("qa", "grounding", "referring")
+        if mode == "grounding":
+            q = (DEFAULT_IMAGE_TOKEN + " " + GROUNDING_TOKEN + "\n" + prompt)
+        elif mode == "referring":
+            q = DEFAULT_IMAGE_TOKEN + "\n" + codec.encode_referring_query(
+                prompt, duration, self.cfg.num_temporal_tokens)
+        else:
+            q = DEFAULT_IMAGE_TOKEN + "\n" + prompt
+        conv = [{"from": "human", "value": q}, {"from": "gpt", "value": ""}]
+        return self.template.encode_for_generation(conv)
+
+    def preprocess_video(self, video_path: str):
+        vf = read_frames(video_path, self.cfg.num_frames, sample="middle")
+        temporal, spatial = dual_stream_preprocess_host(
+            vf.frames, self.cfg.num_segs,
+            self.cfg.temporal_image_size, self.cfg.spatial_image_size)
+        return temporal, spatial, vf.duration
+
+    # -- generation ---------------------------------------------------------
+
+    def generate(self, prompts: List[str], temporal: np.ndarray,
+                 spatial: np.ndarray,
+                 gen_cfg: Optional[GenerateConfig] = None) -> List[str]:
+        """temporal [B,F,224,224,3], spatial [B,segs,336,336,3] (or unbatched
+        [F,...]/[segs,...] broadcast across prompts)."""
+        g = gen_cfg or self.gen_cfg
+        B = len(prompts)
+        if temporal.ndim == 4:
+            temporal = np.broadcast_to(temporal[None],
+                                       (B, *temporal.shape))
+        if spatial.ndim == 4:
+            spatial = np.broadcast_to(spatial[None], (B, *spatial.shape))
+        seqs = [tokenize_with_image(p, self.tokenizer) for p in prompts]
+        input_ids, attn_mask = pad_batch_generate(
+            seqs, self.tokenizer.pad_token_id, self.cfg.max_txt_len)
+
+        self._rng, sub = jax.random.split(self._rng)
+        dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
+        tokens, lengths = generate_tokens(
+            self.params, self.cfg,
+            jnp.asarray(input_ids), jnp.asarray(attn_mask),
+            jnp.asarray(spatial, dtype), jnp.asarray(temporal, dtype),
+            sub,
+            max_new_tokens=g.max_new_tokens,
+            temperature=g.temperature,
+            top_p=g.top_p,
+            do_sample=g.do_sample,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id,
+        )
+        return decode_texts(self.tokenizer, tokens, lengths,
+                            self.tokenizer.eos_token_id)
+
+    def run(self, video_path: str, prompt: str, mode: str = "qa",
+            gen_cfg: Optional[GenerateConfig] = None) -> InferenceResult:
+        temporal, spatial, duration = self.preprocess_video(video_path)
+        text_prompt = self.build_prompt(prompt, mode, duration)
+        texts = self.generate([text_prompt], temporal, spatial, gen_cfg)
+        parsed = codec.parse_time_interval(texts[0], duration,
+                                           self.cfg.num_temporal_tokens,
+                                           self.cfg.llm_name)
+        intervals = codec.extract_intervals(texts[0], duration,
+                                            self.cfg.num_temporal_tokens)
+        return InferenceResult(texts[0], parsed, duration, intervals)

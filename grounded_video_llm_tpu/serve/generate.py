@@ -1,0 +1,139 @@
+"""Generation engine: multimodal prefill + fixed-shape decode loop.
+
+The serving analogue of reference llava_next_video.py:616-666 +
+HF GenerationMixin (SURVEY §3.5), restructured for TPU:
+
+  * prompts are left-padded (flip-pad-flip parity, text/tokenizer.py) so the
+    newest token is always at a static position;
+  * the KV cache is preallocated [L, B, prompt+video+max_new, Hkv, Dh] — no
+    DynamicCache shape growth, one compile per (B, S_prompt_bucket) pair;
+  * the decode loop is a jitted lax.while_loop with per-row EOS done-masking
+    (stops when all rows finish — HF's unfinished_sequences logic);
+  * sampling: greedy / temperature / top-p, matching inference.py:45-49
+    defaults (do_sample=True, temperature=0.2, top_p=None, num_beams=1).
+
+Only new tokens are returned (HF generate with inputs_embeds returns no prompt
+tokens — the grounding parser depends on this, SURVEY §3.5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GenerateConfig, VLMConfig
+from ..models import llm as llm_mod
+from ..models import vlm
+
+
+def sample_logits(logits: jnp.ndarray, rng: jax.Array, temperature: float,
+                  top_p: Optional[float], do_sample: bool) -> jnp.ndarray:
+    """logits [B, V] → token ids [B]."""
+    if not do_sample or temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_p is not None and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cumprobs = jnp.cumsum(sorted_probs, axis=-1)
+        # keep the smallest set with cumulative prob > top_p (HF semantics:
+        # tokens with cumprob - prob >= top_p are removed)
+        cutoff_mask = (cumprobs - sorted_probs) >= top_p
+        threshold = jnp.where(cutoff_mask, jnp.inf, sorted_logits).min(
+            axis=-1, keepdims=True)
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+class DecodeState(NamedTuple):
+    cache: llm_mod.KVCache
+    valid_mask: jnp.ndarray     # [B, max_len]
+    positions: jnp.ndarray      # [B] next position id
+    cur_token: jnp.ndarray      # [B] last sampled token
+    out_tokens: jnp.ndarray     # [B, max_new] emitted tokens (pad-filled)
+    step: jnp.ndarray           # [] int32
+    done: jnp.ndarray           # [B] bool
+    rng: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
+                     "do_sample", "eos_token_id", "pad_token_id"))
+def generate_tokens(
+    params,
+    cfg: VLMConfig,
+    input_ids: jnp.ndarray,       # [B, S] left-padded, one IMAGE_TOKEN_INDEX
+    attn_mask: jnp.ndarray,       # [B, S]
+    spatial_pixels: jnp.ndarray,  # [B, num_segs, 336, 336, 3]
+    temporal_pixels: jnp.ndarray,  # [B, num_frames, 224, 224, 3]
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    temperature: float = 0.2,
+    top_p: Optional[float] = None,
+    do_sample: bool = True,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (tokens [B, max_new_tokens] pad-filled after EOS, lengths [B])."""
+    B, S = input_ids.shape
+    video_features = vlm.encode_video(params, cfg, spatial_pixels,
+                                      temporal_pixels)
+    embeds, _, mask = vlm.splice_multimodal(
+        input_ids, None, attn_mask, video_features, params["llm"]["embed"])
+    S_full = embeds.shape[1]
+    max_len = S_full + max_new_tokens
+
+    cache = llm_mod.KVCache.create(cfg.llm, B, max_len, dtype=embeds.dtype)
+    logits, cache = llm_mod.prefill(params["llm"], cfg.llm, embeds, mask, cache)
+
+    valid0 = jnp.zeros((B, max_len), bool).at[:, :S_full].set(mask.astype(bool))
+    # next position continues after the last valid position (left-padded →
+    # number of valid tokens)
+    pos0 = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    rng, sub = jax.random.split(rng)
+    tok0 = sample_logits(logits, sub, temperature, top_p, do_sample)
+    out0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(tok0)
+    done0 = tok0 == eos_token_id
+
+    state = DecodeState(cache, valid0, pos0, tok0, out0,
+                        jnp.asarray(1, jnp.int32), done0, rng)
+
+    def cond(st: DecodeState):
+        return (st.step < max_new_tokens) & ~jnp.all(st.done)
+
+    def body(st: DecodeState):
+        token_embeds = params["llm"]["embed"][st.cur_token][:, None, :]
+        logits, cache, valid = llm_mod.decode_step(
+            params["llm"], cfg.llm, token_embeds.astype(st.cache.k.dtype),
+            st.cache, st.valid_mask, st.positions)
+        rng, sub = jax.random.split(st.rng)
+        nxt = sample_logits(logits, sub, temperature, top_p, do_sample)
+        nxt = jnp.where(st.done, pad_token_id, nxt)
+        out = st.out_tokens.at[:, st.step].set(nxt)
+        done = st.done | (nxt == eos_token_id)
+        return DecodeState(cache, valid, st.positions + 1, nxt, out,
+                           st.step + 1, done, rng)
+
+    final = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum((final.out_tokens != pad_token_id), axis=-1)
+    return final.out_tokens, lengths
+
+
+def decode_texts(tokenizer, tokens, lengths, eos_token_id: int):
+    """Host-side detokenization: strip eos + pad, skip specials, strip
+    whitespace (reference llava_next_video.py:663-665)."""
+    texts = []
+    import numpy as np
+
+    tokens = np.asarray(tokens)
+    lengths = np.asarray(lengths)
+    for row, n in zip(tokens, lengths):
+        ids = [int(t) for t in row[:n] if int(t) != eos_token_id]
+        texts.append(tokenizer.decode(ids, skip_special_tokens=True).strip())
+    return texts
