@@ -65,9 +65,22 @@ def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32):
     }
 
 
+def _dense(x, kernel, lp, name: str):
+    """Dense matmul with optional LoRA overlay (x@A@B, rank kept small — the
+    delta matrix is never materialized). LoRA targets the fused projections,
+    the TPU-idiomatic equivalent of the reference's per-matrix peft targets
+    (reference llava_next_video.py:212-229, r=128 α=256)."""
+    y = x @ kernel
+    lora = lp.get("lora")
+    if lora is not None and name in lora:
+        la = lora[name]
+        y = y + ((x @ la["a"]) @ la["b"]) * la["scale"][..., None, None]
+    return y
+
+
 def _qkv(x, lp, cfg: LLMConfig):
     B, S, _ = x.shape
-    qkv = x @ lp["qkv_kernel"]
+    qkv = _dense(x, lp["qkv_kernel"], lp, "qkv")
     q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
     return (q.reshape(B, S, cfg.num_heads, cfg.head_dim),
             k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim),
@@ -75,9 +88,9 @@ def _qkv(x, lp, cfg: LLMConfig):
 
 
 def _mlp(h, lp, cfg: LLMConfig):
-    gate_up = h @ lp["gate_up_kernel"]
+    gate_up = _dense(h, lp["gate_up_kernel"], lp, "gate_up")
     gate, up = jnp.split(gate_up, 2, axis=-1)
-    return (jax.nn.silu(gate) * up) @ lp["down_kernel"]
+    return _dense(jax.nn.silu(gate) * up, lp["down_kernel"], lp, "down")
 
 
 def _layer_full(x, lp, cfg: LLMConfig, cos, sin, attn_mask):
@@ -88,7 +101,7 @@ def _layer_full(x, lp, cfg: LLMConfig, cos, sin, attn_mask):
     q, k, v = _qkv(h, lp, cfg)
     q, k = apply_rope(q, k, cos, sin)
     attn = mha(q, k, v, causal=True, mask=attn_mask).reshape(B, S, cfg.q_dim)
-    x = x + attn @ lp["o_kernel"]
+    x = x + _dense(attn, lp["o_kernel"], lp, "o")
     h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
     x = x + _mlp(h, lp, cfg)
     return x, (k, v)
@@ -215,7 +228,7 @@ def decode_step(
         k_cache = write(k_cache, k[:, 0])
         v_cache = write(v_cache, v[:, 0])
         attn = decode_attention(q, k_cache, v_cache, valid_mask)
-        x = x + attn.reshape(B, 1, cfg.q_dim) @ lp["o_kernel"]
+        x = x + _dense(attn.reshape(B, 1, cfg.q_dim), lp["o_kernel"], lp, "o")
         h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
         x = x + _mlp(h, lp, cfg)
         return x, (k_cache, v_cache)

@@ -9,8 +9,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# One physical core timeshares the 8 virtual device programs, so slow arrivals
+# at a collective rendezvous can exceed XLA's 40s termination timeout and
+# SIGABRT the process. Raise the timeouts (observed: a micro-model train step
+# needs ~300s wall on this box).
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
