@@ -1,0 +1,205 @@
+"""Batched multi-benchmark eval harness.
+
+Covers the reference's headline evals (BASELINE.md): temporal sentence
+grounding (Charades-STA / ActivityNet-Grounding R1@{0.3,0.5,0.7} + mIoU),
+grounded VideoQA (NExT-GQA GQA/mIoP/mIoU), and multiple-choice video QA
+(MVBench / Video-MME accuracy). The reference has no in-repo eval code (it
+reports numbers in README.md:31-34); this harness defines the standard metric
+arithmetic and a batched driver over the InferenceEngine.
+
+Annotation formats (one JSON list per benchmark):
+  grounding: {video, query, start, end, duration?}
+  qa-mc:     {video, question, options: [...], answer: int|letter}
+  gqa:       {video, question, answer, start, end}
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import string
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..text import codec
+
+
+# ---------------------------------------------------------------------------
+# Metric arithmetic (pure, unit-testable)
+# ---------------------------------------------------------------------------
+
+
+def temporal_iou(pred: Tuple[float, float], gt: Tuple[float, float]) -> float:
+    ps, pe = min(pred), max(pred)
+    gs, ge = min(gt), max(gt)
+    inter = max(0.0, min(pe, ge) - max(ps, gs))
+    union = max(pe, ge) - min(ps, gs)
+    return inter / union if union > 0 else 0.0
+
+
+def temporal_iop(pred: Tuple[float, float], gt: Tuple[float, float]) -> float:
+    """Intersection over *prediction* (NExT-GQA's mIoP)."""
+    ps, pe = min(pred), max(pred)
+    gs, ge = min(gt), max(gt)
+    inter = max(0.0, min(pe, ge) - max(ps, gs))
+    dur = pe - ps
+    return inter / dur if dur > 0 else 0.0
+
+
+@dataclass
+class GroundingMetrics:
+    """R1@{thresholds} + mIoU accumulator (Charades-STA / ANet convention)."""
+
+    thresholds: Sequence[float] = (0.3, 0.5, 0.7)
+    ious: List[float] = field(default_factory=list)
+
+    def add(self, pred: Optional[Tuple[float, float]],
+            gt: Tuple[float, float]) -> float:
+        iou = temporal_iou(pred, gt) if pred is not None else 0.0
+        self.ious.append(iou)
+        return iou
+
+    def summary(self) -> Dict[str, float]:
+        arr = np.asarray(self.ious) if self.ious else np.zeros(1)
+        out = {f"R1@{t}": float((arr >= t).mean()) * 100
+               for t in self.thresholds}
+        out["mIoU"] = float(arr.mean()) * 100
+        return out
+
+
+@dataclass
+class GQAMetrics:
+    """NExT-GQA: answer accuracy + mIoP + mIoU, plus Acc@GQA (correct answer
+    AND IoP >= 0.5)."""
+
+    correct: List[bool] = field(default_factory=list)
+    iops: List[float] = field(default_factory=list)
+    ious: List[float] = field(default_factory=list)
+
+    def add(self, answer_correct: bool, pred: Optional[Tuple[float, float]],
+            gt: Tuple[float, float]) -> None:
+        self.correct.append(bool(answer_correct))
+        self.iops.append(temporal_iop(pred, gt) if pred else 0.0)
+        self.ious.append(temporal_iou(pred, gt) if pred else 0.0)
+
+    def summary(self) -> Dict[str, float]:
+        c = np.asarray(self.correct, dtype=bool)
+        iop = np.asarray(self.iops)
+        iou = np.asarray(self.ious)
+        if len(c) == 0:
+            return {"GQA": 0.0, "mIoP": 0.0, "mIoU": 0.0}
+        return {
+            "GQA": float((c & (iop >= 0.5)).mean()) * 100,
+            "mIoP": float(iop.mean()) * 100,
+            "mIoU": float(iou.mean()) * 100,
+            "Acc": float(c.mean()) * 100,
+        }
+
+
+@dataclass
+class AccuracyMetrics:
+    correct: List[bool] = field(default_factory=list)
+
+    def add(self, is_correct: bool) -> None:
+        self.correct.append(bool(is_correct))
+
+    def summary(self) -> Dict[str, float]:
+        if not self.correct:
+            return {"accuracy": 0.0}
+        return {"accuracy": float(np.mean(self.correct)) * 100}
+
+
+# ---------------------------------------------------------------------------
+# Answer parsing
+# ---------------------------------------------------------------------------
+
+
+def parse_first_interval(text: str, duration: float,
+                         num_temporal_tokens: int = 300
+                         ) -> Optional[Tuple[float, float]]:
+    ivs = codec.extract_intervals(text, duration, num_temporal_tokens)
+    if ivs:
+        return ivs[0]
+    # fallback: "X to Y seconds" phrasing after parse_time_interval
+    m = re.findall(r"(\d+(?:\.\d+)?)\s*(?:seconds|s)", text)
+    if len(m) >= 2:
+        return float(m[0]), float(m[1])
+    return None
+
+
+def parse_mc_answer(text: str, options: Sequence[str]) -> Optional[int]:
+    """Map generated text to an option index: leading letter (A-E) or best
+    option-string containment."""
+    t = text.strip()
+    if t and t[0].upper() in string.ascii_uppercase[:len(options)]:
+        boundary = len(t) == 1 or not t[1].isalnum()
+        if boundary:
+            return string.ascii_uppercase.index(t[0].upper())
+    tl = t.lower()
+    best, best_len = None, 0
+    for i, opt in enumerate(options):
+        ol = opt.strip().lower()
+        if ol and ol in tl and len(ol) > best_len:
+            best, best_len = i, len(ol)
+    return best
+
+
+def format_mc_prompt(question: str, options: Sequence[str]) -> str:
+    lines = [question.strip(), "Options:"]
+    for i, opt in enumerate(options):
+        lines.append(f"({string.ascii_uppercase[i]}) {opt}")
+    lines.append("Answer with the option's letter from the given choices "
+                 "directly and only give the best option.")
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark drivers
+# ---------------------------------------------------------------------------
+
+
+def eval_grounding(engine, annotations: Iterable[Dict],
+                   video_root: str = "", prompt_template: str =
+                   "When does \"{query}\" happen in the video?",
+                   max_items: Optional[int] = None) -> Dict[str, float]:
+    """Charades-STA / ActivityNet-Grounding style R1@IoU eval."""
+    import os
+
+    metrics = GroundingMetrics()
+    for i, item in enumerate(annotations):
+        if max_items is not None and i >= max_items:
+            break
+        res = engine.run(os.path.join(video_root, item["video"]),
+                         prompt_template.format(query=item["query"]),
+                         mode="grounding")
+        pred = parse_first_interval(res.text, res.duration)
+        metrics.add(pred, (float(item["start"]), float(item["end"])))
+    return metrics.summary()
+
+
+def eval_multiple_choice(engine, annotations: Iterable[Dict],
+                         video_root: str = "",
+                         max_items: Optional[int] = None) -> Dict[str, float]:
+    """MVBench / Video-MME style accuracy eval."""
+    import os
+
+    metrics = AccuracyMetrics()
+    for i, item in enumerate(annotations):
+        if max_items is not None and i >= max_items:
+            break
+        prompt = format_mc_prompt(item["question"], item["options"])
+        res = engine.run(os.path.join(video_root, item["video"]), prompt,
+                         mode="qa")
+        pred = parse_mc_answer(res.text, item["options"])
+        gt = item["answer"]
+        if isinstance(gt, str):
+            gt = string.ascii_uppercase.index(gt.strip().upper()[0])
+        metrics.add(pred == gt)
+    return metrics.summary()
+
+
+def load_annotations(path: str) -> List[Dict]:
+    with open(path) as f:
+        return json.load(f)

