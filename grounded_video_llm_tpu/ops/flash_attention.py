@@ -1,0 +1,155 @@
+"""Pallas TPU flash attention (forward) — the flash-attn CUDA replacement
+(reference internvideo2.py:473-536 non-causal packed; modeling_phi3.py:613-921
+causal; SURVEY §2.9 row flash-attn).
+
+Design: grid (B, H, Sq/block_q); each program streams its q block against the
+FULL K/V of its (batch, kv-head) — at this framework's sequence lengths
+(encoder 2049, LLM prefill ≤ ~5.5k) K/V fit comfortably in VMEM
+(5.5k × 128 × 2B ≈ 1.4MB each), so no online-softmax k-loop is needed: the
+[block_q, S] score tile lives only in VMEM fp32 and the full [S, S] matrix
+never touches HBM — the entire win over the XLA path. GQA maps q head h → kv
+head h // group via the k/v index maps; no repeated K/V materialization.
+Padding masks enter as an additive fp32 bias row per batch.
+
+Backward: custom_vjp whose backward recomputes attention with the XLA path
+(einsum gradients). Training already wraps decoder layers in jax.checkpoint,
+so the recompute matches the standard remat schedule; a Pallas backward
+kernel is a further optimization, not a correctness need.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _pick_block_q(sq: int) -> int:
+    for b in (512, 256, 128):
+        if sq % b == 0:
+            return b
+    return 0  # caller pads
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
+                block_q, sk, sq_orig):
+    i = pl.program_id(2)
+    q = q_ref[0, 0, :, :]          # [block_q, D]
+    k = k_ref[0, 0, :, :]          # [Sk, D]
+    v = v_ref[0, 0, :, :]          # [Sk, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # [block_q, Sk]
+    s = s + bias_ref[0, 0, :][None, :]
+
+    if causal:
+        qpos = (i * block_q
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
+                + (sk - sq_orig))
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
+        s = jnp.where(kpos <= qpos, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+
+
+def _flash_fwd(q, k, v, bias, scale, causal):
+    """Internally works in [B, H, S, D] layout — Pallas TPU blocks must live in
+    the last two dims (sublane x lane)."""
+    B, Sq, H, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    G = H // Hkv
+
+    block_q = _pick_block_q(Sq)
+    pad = 0
+    if block_q == 0:
+        block_q = min(128, max(8, Sq))
+        padded = -(-Sq // block_q) * block_q
+        pad = padded - Sq
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    Sq_p = q.shape[1]
+
+    qt = q.transpose(0, 2, 1, 3)   # [B, H, Sq, D]
+    kt = k.transpose(0, 2, 1, 3)   # [B, Hkv, Sk, D]
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (B, H, Sq_p // block_q)
+    kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                               block_q=block_q, sk=Sk, sq_orig=Sq)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda b, h, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, i: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+    )(qt, kt, vt, bias[:, None, :])
+    out = out.transpose(0, 2, 1, 3)
+    if pad:
+        out = out[:, :Sq]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_mha_core(q, k, v, bias, causal, scale):
+    return _flash_fwd(q, k, v, bias, scale, causal)
+
+
+def _core_fwd(q, k, v, bias, causal, scale):
+    return _flash_fwd(q, k, v, bias, scale, causal), (q, k, v, bias)
+
+
+def _core_bwd(causal, scale, residuals, g):
+    from .attention import xla_mha
+
+    q, k, v, bias = residuals
+    mask4 = bias[:, None, None, :] >= -1.0  # bias is 0 (keep) or NEG_INF
+
+    def ref(q_, k_, v_):
+        return xla_mha(q_, k_, v_, causal=causal, mask=mask4.astype(jnp.int32),
+                       scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_mha_core.defvjp(_core_fwd, _core_bwd)
+
+
+def flash_mha(q, k, v, *, causal: bool = False,
+              mask: Optional[jnp.ndarray] = None,
+              scale: Optional[float] = None):
+    """Drop-in for attention.xla_mha. mask: [B, Sk] keep-mask (bias-style
+    4D masks fall back to XLA)."""
+    if mask is not None and mask.ndim != 2:
+        from .attention import xla_mha
+
+        return xla_mha(q, k, v, causal=causal, mask=mask, scale=scale)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, _, _, _ = q.shape
+    Sk = k.shape[1]
+    if mask is None:
+        bias = jnp.zeros((B, Sk), jnp.float32)
+    else:
+        bias = jnp.where(mask.astype(bool), 0.0, NEG_INF).astype(jnp.float32)
+    return _flash_mha_core(q, k, v, bias, causal, scale)

@@ -1,0 +1,64 @@
+"""Pallas flash attention vs XLA reference (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grounded_video_llm_tpu.ops.attention import xla_mha
+from grounded_video_llm_tpu.ops.flash_attention import flash_mha
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape),
+                       jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("hkv", [4, 2])
+def test_flash_matches_xla(causal, hkv):
+    B, Sq, H, D = 2, 128, 4, 16
+    q = _rand((B, Sq, H, D), 0)
+    k = _rand((B, Sq, hkv, D), 1)
+    v = _rand((B, Sq, hkv, D), 2)
+    out_flash = flash_mha(q, k, v, causal=causal)
+    out_xla = xla_mha(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flash_padding_mask():
+    B, S, H, D = 1, 128, 2, 16
+    q, k, v = _rand((B, S, H, D)), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+    mask = jnp.asarray(np.r_[np.ones(100), np.zeros(28)][None], jnp.int32)
+    out_flash = flash_mha(q, k, v, causal=True, mask=mask)
+    out_xla = xla_mha(q, k, v, causal=True, mask=mask)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flash_unaligned_seq_pads():
+    B, Sq, H, D = 1, 100, 2, 16  # not a multiple of any block size
+    q, k, v = _rand((B, Sq, H, D)), _rand((B, Sq, H, D), 1), _rand((B, Sq, H, D), 2)
+    out_flash = flash_mha(q, k, v, causal=True)
+    out_xla = xla_mha(q, k, v, causal=True)
+    assert out_flash.shape == (B, Sq, H, D)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flash_backward_matches_xla():
+    B, S, H, D = 1, 128, 2, 16
+    q, k, v = _rand((B, S, H, D)), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_mha(q, k, v, causal=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_mha(q, k, v, causal=True) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
