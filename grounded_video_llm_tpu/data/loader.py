@@ -110,8 +110,11 @@ class DataLoader:
                     break
                 if isinstance(item, Exception):
                     raise item
-                yield item
+                # count BEFORE yielding: the generator suspends at yield, so a
+                # post-yield increment wouldn't be reflected in state_dict()
+                # until the consumer asks for the next batch
                 self.batch_in_epoch += 1
+                yield item
         finally:
             stop.set()
         self.epoch += 1

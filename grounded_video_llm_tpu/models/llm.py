@@ -141,8 +141,12 @@ def forward_hidden(
 
 
 def logits_from_hidden(params, hidden: jnp.ndarray) -> jnp.ndarray:
-    """fp32 logits (reference modeling_phi3.py:1524-1526)."""
-    return hidden.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    """fp32 logits (reference modeling_phi3.py:1524-1526). The fp32 island is
+    realized as fp32 MXU *accumulation* over the stored-dtype weights rather
+    than casting the [D, V] matrix up — a bf16 lm_head would otherwise be
+    re-materialized as 2x the bytes every decode step."""
+    return jnp.dot(hidden, params["lm_head"],
+                   preferred_element_type=jnp.float32)
 
 
 def forward_logits(params, cfg, inputs_embeds, attn_mask=None, positions=None,

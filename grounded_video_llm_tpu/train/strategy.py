@@ -78,6 +78,13 @@ class TrainingStrategy:
                 lora_mod.init_lora(jax.random.key(seed), cfg.llm))
 
         self.tx, self.labels = make_optimizer(self.stage, total_steps, params)
+        # schedule mirror for lr reporting (reference logs scheduler lr)
+        import optax
+
+        warmup = max(int(total_steps * self.stage.warmup_ratio), 1)
+        self._lr_schedule = optax.warmup_cosine_decay_schedule(
+            0.0, self.stage.lr_llm or self.stage.lr_video_projector, warmup,
+            max(total_steps, warmup + 1), 0.0)
         self.state = create_train_state(params, self.tx, mesh=self.mesh)
         self.step_fn = make_train_step(cfg, self.tx,
                                        grad_accum=self.grad_accum, remat=True)
@@ -120,10 +127,18 @@ class TrainingStrategy:
 
     # ------------------------------------------------------------------
 
-    def run_training(self, dataset, resume_from: Optional[str] = None) -> None:
+    def run_training(self, dataset, resume_from: Optional[str] = None,
+                     resume_interval: float = 0.1) -> None:
+        """resume_interval: save a resume bundle this fraction of an epoch
+        (the reference's --resume_interval; its in-loop trigger was commented
+        out — base_strategy.py:347-355 — here it is wired)."""
         loader = self.make_loader(dataset)
         if resume_from:
             self.load_resume(resume_from, loader)
+
+        self._loss_history = []
+        save_every = max(int(self.steps_per_epoch * resume_interval), 1) \
+            if self.steps_per_epoch else 0
 
         for epoch in range(loader.epoch, self.stage.epochs):
             self.overwatch.info(f"epoch {epoch}")
@@ -136,11 +151,37 @@ class TrainingStrategy:
                         "NaN loss encountered — aborting (parity with "
                         "reference base_strategy.py:284-286)")
                 self.metrics.commit(loss)
-                status = self.metrics.push(lr=0.0,
+                self._loss_history.append(loss)
+                lr = float(self._lr_schedule(self.metrics.global_step))
+                status = self.metrics.push(lr=lr,
                                            extra={"grad_norm":
                                                   float(m["grad_norm"])})
                 if self.metrics.global_step % 10 == 0:
                     self.overwatch.info(status)
+                if save_every and self.metrics.global_step % save_every == 0:
+                    self.save_checkpoint("latest", loader)
+                    self.plot_loss()
+
+    def plot_loss(self) -> None:
+        """Loss-curve jpg (reference base_strategy.py:104-116, dumped every
+        ~1% of an epoch)."""
+        if not getattr(self, "_loss_history", None):
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.figure(figsize=(8, 4))
+            plt.plot(self._loss_history)
+            plt.xlabel("step")
+            plt.ylabel("loss")
+            plt.tight_layout()
+            plt.savefig(os.path.join(self.run_dir, "loss_curve.jpg"))
+            plt.close()
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     # Checkpointing

@@ -1,0 +1,151 @@
+"""Data pipeline: dataset __getitem__, collation, loader resume semantics,
+and an end-to-end micro training run over the demo video."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from grounded_video_llm_tpu.core.config import micro_vlm_config
+from grounded_video_llm_tpu.data.collate import collate
+from grounded_video_llm_tpu.data.datasets import MixGrounded, MixPretrain
+from grounded_video_llm_tpu.data.loader import DataLoader, ShardedSampler
+from grounded_video_llm_tpu.text.templates import (IGNORE_INDEX,
+                                                   IMAGE_TOKEN_INDEX,
+                                                   get_template)
+from grounded_video_llm_tpu.text.tokenizer import build_test_tokenizer
+
+
+@pytest.fixture()
+def anno_file(tmp_path, demo_video):
+    items = [
+        {"question_id": f"q{i}", "video_id": f"v{i}",
+         "video_file": os.path.basename(demo_video),
+         "conversation": [
+             {"from": "human", "value": "<image>\nWhen does the car appear?"},
+             {"from": "gpt", "value": "From <2.0> to <8.5>."},
+         ],
+         "dataset_name": "unit"}
+        for i in range(4)
+    ]
+    path = tmp_path / "anno.json"
+    path.write_text(json.dumps(items))
+    return str(path), os.path.dirname(demo_video)
+
+
+def test_grounded_dataset_item(anno_file):
+    anno, root = anno_file
+    ds = MixGrounded(anno_path=anno, video_path=root, num_frames=8, num_segs=2,
+                     sample="middle")
+    item = ds[0]
+    assert item["temporal_pixel_values"].shape == (8, 224, 224, 3)
+    assert item["spatial_pixel_values"].shape == (2, 336, 336, 3)
+    # grounding mark prepended, timestamps quantized against real duration
+    assert "<timestamp_grounding>" in item["text_inputs"]
+    assert "<2.0>" not in item["text_inputs"]
+    d = item["durations"]
+    import re
+
+    ns = [int(m) for m in re.findall(r"<(\d+)>", item["text_inputs"])]
+    assert ns[0] == min(int(300 * 2.0 / d), 300)
+
+
+def test_pretrain_dataset_no_grounding_mark(anno_file):
+    anno, root = anno_file
+    ds = MixPretrain(anno_path=anno, video_path=root, num_frames=8, num_segs=2,
+                     sample="middle")
+    item = ds[0]
+    assert "<timestamp_grounding>" not in item["text_inputs"]
+    assert "<2.0>" in item["text_inputs"]  # left unquantized
+
+
+def test_collate_batch(anno_file):
+    anno, root = anno_file
+    ds = MixGrounded(anno_path=anno, video_path=root, num_frames=8, num_segs=2,
+                     sample="middle")
+    tok = build_test_tokenizer("phi3.5")
+    batch = collate([ds[0], ds[1]], tok, get_template("phi3.5"),
+                    max_txt_len=2048, pad_to=64)
+    assert batch.input_ids.shape[0] == 2
+    assert batch.input_ids.shape[1] % 64 == 0
+    assert (batch.input_ids == IMAGE_TOKEN_INDEX).sum() == 2
+    assert (batch.labels != IGNORE_INDEX).any()
+    assert batch.spatial_pixels.shape == (2, 2, 336, 336, 3)
+    assert not batch.is_text.any()
+
+
+def test_sampler_determinism_and_sharding():
+    s0 = ShardedSampler(100, 4, seed=7, num_shards=2, shard_id=0)
+    s1 = ShardedSampler(100, 4, seed=7, num_shards=2, shard_id=1)
+    a = s0.epoch_indices(0)
+    b = s1.epoch_indices(0)
+    assert a.shape == (12, 4)
+    assert set(a.ravel()).isdisjoint(set(b.ravel()))
+    np.testing.assert_array_equal(a, s0.epoch_indices(0))  # deterministic
+    assert not np.array_equal(a, s0.epoch_indices(1))      # reshuffles
+
+
+def test_loader_resume_mid_epoch(anno_file):
+    anno, root = anno_file
+    ds = MixGrounded(anno_path=anno, video_path=root, num_frames=8, num_segs=2,
+                     sample="middle")
+    tok = build_test_tokenizer("phi3.5")
+    make = lambda: DataLoader(
+        ds, lambda s: collate(s, tok, get_template("phi3.5")), batch_size=1,
+        seed=3)
+    l1 = make()
+    it = l1.epoch_iterator()
+    first = next(it)
+    state = l1.state_dict()
+    assert state["batch_in_epoch"] == 1
+    rest1 = [b.input_ids for b in it]
+
+    l2 = make()
+    l2.load_state_dict(state)
+    rest2 = [b.input_ids for b in l2.epoch_iterator()]
+    assert len(rest1) == len(rest2)
+    for a, b in zip(rest1, rest2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_training_strategy_end_to_end(anno_file, tmp_path):
+    """Full glue: dataset → loader → sharded step → metrics → checkpoint."""
+    import dataclasses
+
+    import jax
+
+    from grounded_video_llm_tpu.core.config import STAGE_PRESETS
+    from grounded_video_llm_tpu.models import vlm
+    from grounded_video_llm_tpu.parallel.mesh import build_mesh
+    from grounded_video_llm_tpu.train.strategy import TrainingStrategy
+
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+    tok = build_test_tokenizer("phi3.5")
+    anno, root = anno_file
+    ds = MixGrounded(anno_path=anno, video_path=root, num_frames=cfg.num_frames,
+                     num_segs=cfg.num_segs, sample="middle")
+
+    # shrink the grounded preset to a 2-sample global batch on a 1-dev mesh
+    orig = STAGE_PRESETS["grounded"]
+    STAGE_PRESETS["grounded"] = dataclasses.replace(
+        orig, global_batch_size=2, per_device_batch_size=1, epochs=1)
+    try:
+        mesh = build_mesh(devices=jax.devices()[:1], data=1, fsdp=1)
+        strat = TrainingStrategy(cfg, "grounded", params, tok,
+                                 run_dir=str(tmp_path / "run"), mesh=mesh,
+                                 n_train_examples=len(ds))
+        assert strat.grad_accum == 2
+        strat.run_training(ds)
+        assert strat.metrics.global_step == 2  # 4 samples / global batch 2
+        path = strat.save_checkpoint("final")
+        assert os.path.exists(path)
+        # vocab expanded + lora attached by the grounded stage
+        assert ("lora" in strat.state.params["llm"]["layers"])
+        # micro config pre-pads the vocab (num_extra_tokens in LLMConfig), so
+        # the strategy must NOT have double-expanded
+        assert strat.state.params["llm"]["embed"].shape[0] == \
+            cfg.llm.padded_vocab_size
+    finally:
+        STAGE_PRESETS["grounded"] = orig
