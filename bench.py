@@ -26,6 +26,7 @@ import numpy as np
 
 A100_BASELINE_VIDEOS_PER_SEC = 1.0
 DECODE_TOKENS = 64
+BATCH = 2  # serving batch; params (10.2GB bf16) + 2x KV cache fit one v5e chip
 WARMUP_ITERS = 1
 MEASURE_ITERS = 3
 
@@ -44,7 +45,7 @@ def main():
     jax.block_until_ready(params)
     print(f"param init: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    B, S = 1, 64
+    B, S = BATCH, 64
     rng = np.random.default_rng(0)
     ids = rng.integers(3, 30000, size=(B, S)).astype(np.int32)
     ids[:, 1] = -200

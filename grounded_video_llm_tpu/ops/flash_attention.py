@@ -30,39 +30,41 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _pick_block_q(sq: int) -> int:
-    for b in (512, 256, 128):
-        if sq % b == 0:
-            return b
-    return 0  # caller pads
+BLOCK_Q = 512
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
-                block_q, sk, sq_orig):
-    i = pl.program_id(2)
-    q = q_ref[0, 0, :, :]          # [block_q, D]
+                block_q, sk, sq_orig, n_blocks):
+    """One program = one (batch, q-head): loads K/V once, loops q blocks
+    internally. Per-program work is n_blocks large matmuls, so the fixed
+    per-program dispatch cost (~µs) amortizes — a (B, H, Sq/128) grid of tiny
+    programs measured 3x slower on the same shapes."""
     k = k_ref[0, 0, :, :]          # [Sk, D]
     v = v_ref[0, 0, :, :]          # [Sk, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # [block_q, Sk]
-    s = s + bias_ref[0, 0, :][None, :]
+    bias_row = bias_ref[0, 0, :][None, :]
 
-    if causal:
-        qpos = (i * block_q
-                + jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
-                + (sk - sq_orig))
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
-        s = jnp.where(kpos <= qpos, s, NEG_INF)
+    def body(j, _):
+        q = q_ref[0, 0, pl.ds(j * block_q, block_q), :]   # [block_q, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [block_q, Sk]
+        s = s + bias_row
+        if causal:
+            qpos = (j * block_q
+                    + jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
+                    + (sk - sq_orig))
+            kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
+            s = jnp.where(kpos <= qpos, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, 0, pl.ds(j * block_q, block_q), :] = o.astype(o_ref.dtype)
+        return 0
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+    jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
 def _flash_fwd(q, k, v, bias, scale, causal):
@@ -72,33 +74,32 @@ def _flash_fwd(q, k, v, bias, scale, causal):
     _, Sk, Hkv, _ = k.shape
     G = H // Hkv
 
-    block_q = _pick_block_q(Sq)
-    pad = 0
-    if block_q == 0:
-        block_q = min(128, max(8, Sq))
-        padded = -(-Sq // block_q) * block_q
-        pad = padded - Sq
+    block_q = min(BLOCK_Q, -(-Sq // 8) * 8)
+    padded = -(-Sq // block_q) * block_q
+    pad = padded - Sq
+    if pad:
         q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
     Sq_p = q.shape[1]
+    n_blocks = Sq_p // block_q
 
     qt = q.transpose(0, 2, 1, 3)   # [B, H, Sq, D]
     kt = k.transpose(0, 2, 1, 3)   # [B, Hkv, Sk, D]
     vt = v.transpose(0, 2, 1, 3)
 
-    grid = (B, H, Sq_p // block_q)
+    grid = (B, H)
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                               block_q=block_q, sk=Sk, sq_orig=Sq)
+                               block_q=block_q, sk=Sk, sq_orig=Sq,
+                               n_blocks=n_blocks)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // G, 0, 0)),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // G, 0, 0)),
-            pl.BlockSpec((1, 1, Sk), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda b, h: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D),
-                               lambda b, h, i: (b, h, i, 0)),
+        out_specs=pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(qt, kt, vt, bias[:, None, :])
