@@ -102,15 +102,24 @@ def _pool_grid(x: jnp.ndarray, in_side: int, out_side: int) -> jnp.ndarray:
 
 
 def encode_video(params, cfg: VLMConfig, spatial_pixels: jnp.ndarray,
-                 temporal_pixels: jnp.ndarray) -> jnp.ndarray:
-    """→ video features [B, num_video_tokens, H_llm]."""
+                 temporal_pixels: jnp.ndarray,
+                 freeze_encoders: bool = True) -> jnp.ndarray:
+    """→ video features [B, num_video_tokens, H_llm].
+
+    freeze_encoders: stop gradients at the encoder outputs. Both encoders are
+    frozen in every reference training stage (SURVEY §2.4 /
+    llava_next_video.py:155-210), so the backward pass through their ~1.3B
+    params is never needed — stop_gradient lets XLA drop that entire backward
+    graph instead of computing gradients the optimizer would zero."""
     B, S_segs = spatial_pixels.shape[:2]
     F = cfg.num_frames
     fps = cfg.num_frames_per_seg
 
+    sg = jax.lax.stop_gradient if freeze_encoders else (lambda x: x)
+
     # ---- spatial stream
     sp = spatial_pixels.reshape(B * S_segs, *spatial_pixels.shape[2:])
-    image_feats = clip_vit.features(params["clip"], cfg.clip, sp)  # [B*12,576,C]
+    image_feats = sg(clip_vit.features(params["clip"], cfg.clip, sp))  # [B*12,576,C]
     if cfg.llm_name == "phi3.5":
         x = merge_2x2_phi3(image_feats)                       # [B*12,12,12,4C]
         x = add_newline_phi3(x, params["extras"]["sub_GN"])   # [B*12,156,4C]
@@ -123,7 +132,7 @@ def encode_video(params, cfg: VLMConfig, spatial_pixels: jnp.ndarray,
 
     # ---- temporal stream
     tp = temporal_pixels.reshape(B * S_segs, fps, *temporal_pixels.shape[2:])
-    seg = internvideo2.features(params["video_encoder"], cfg.video, tp)
+    seg = sg(internvideo2.features(params["video_encoder"], cfg.video, tp))
     seg = seg[:, 1:, :]                                       # drop CLS
     seg = seg.reshape(B * S_segs, fps, cfg.video.patches_per_frame, -1)
     seg = _pool_grid(seg, 16, 4)                              # [B*12,fps,16,1408]
@@ -209,10 +218,11 @@ def splice_multimodal(
 
 
 def forward_loss(params, cfg: VLMConfig, batch: Batch,
-                 remat: bool = False) -> jnp.ndarray:
+                 remat: bool = False, freeze_encoders: bool = True) -> jnp.ndarray:
     """Full multimodal forward → scalar CE loss (reference :598-614)."""
     video_features = encode_video(params, cfg, batch.spatial_pixels,
-                                  batch.temporal_pixels)
+                                  batch.temporal_pixels,
+                                  freeze_encoders=freeze_encoders)
     embeds, labels, mask = splice_multimodal(
         batch.input_ids, batch.labels, batch.attn_mask, video_features,
         params["llm"]["embed"], batch.is_text)

@@ -89,18 +89,31 @@ class InferenceEngine:
 
         self._rng, sub = jax.random.split(self._rng)
         dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
-        tokens, lengths = generate_tokens(
-            self.params, self.cfg,
-            jnp.asarray(input_ids), jnp.asarray(attn_mask),
-            jnp.asarray(spatial, dtype), jnp.asarray(temporal, dtype),
-            sub,
-            max_new_tokens=g.max_new_tokens,
-            temperature=g.temperature,
-            top_p=g.top_p,
-            do_sample=g.do_sample,
-            eos_token_id=self.tokenizer.eos_token_id,
-            pad_token_id=self.tokenizer.pad_token_id,
-        )
+        if g.num_beams > 1:
+            from .beam import beam_search_tokens
+
+            tokens, lengths = beam_search_tokens(
+                self.params, self.cfg,
+                jnp.asarray(input_ids), jnp.asarray(attn_mask),
+                jnp.asarray(spatial, dtype), jnp.asarray(temporal, dtype),
+                max_new_tokens=g.max_new_tokens,
+                num_beams=g.num_beams,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+            )
+        else:
+            tokens, lengths = generate_tokens(
+                self.params, self.cfg,
+                jnp.asarray(input_ids), jnp.asarray(attn_mask),
+                jnp.asarray(spatial, dtype), jnp.asarray(temporal, dtype),
+                sub,
+                max_new_tokens=g.max_new_tokens,
+                temperature=g.temperature,
+                top_p=g.top_p,
+                do_sample=g.do_sample,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+            )
         return decode_texts(self.tokenizer, tokens, lengths,
                             self.tokenizer.eos_token_id)
 

@@ -150,3 +150,11 @@ def test_forward_loss_grad_flows(setup):
     gnorm = float(jax.tree_util.tree_reduce(
         lambda a, x: a + jnp.sum(x.astype(jnp.float32) ** 2), grads, 0.0))
     assert np.isfinite(gnorm) and gnorm > 0
+    # encoders are frozen in every reference stage → stop_gradient makes their
+    # grads exactly zero (and XLA drops their backward graph entirely)
+    enc_norm = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(x.astype(jnp.float32) ** 2),
+        {"c": grads["clip"], "v": grads["video_encoder"]}, 0.0))
+    assert enc_norm == 0.0
+    proj_norm = float(jnp.sum(grads["video_projector"]["fc1"]["kernel"] ** 2))
+    assert proj_norm > 0
