@@ -65,12 +65,26 @@ def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32):
     }
 
 
+def _matmul_maybe_int8(x, kernel):
+    """x [..., D] @ kernel, where kernel is a dense array or an int8
+    {"q", "scale"} pair (serve/quantize.py) run through the Pallas
+    dequant-in-VMEM matmul."""
+    if isinstance(kernel, dict):
+        from ..ops.int8_matmul import int8_matmul
+
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        out = int8_matmul(flat, kernel["q"], kernel["scale"])
+        return out.reshape(*lead, out.shape[-1])
+    return x @ kernel
+
+
 def _dense(x, kernel, lp, name: str):
     """Dense matmul with optional LoRA overlay (x@A@B, rank kept small — the
     delta matrix is never materialized). LoRA targets the fused projections,
     the TPU-idiomatic equivalent of the reference's per-matrix peft targets
     (reference llava_next_video.py:212-229, r=128 α=256)."""
-    y = x @ kernel
+    y = _matmul_maybe_int8(x, kernel)
     lora = lp.get("lora")
     if lora is not None and name in lora:
         la = lora[name]
@@ -145,8 +159,10 @@ def logits_from_hidden(params, hidden: jnp.ndarray) -> jnp.ndarray:
     realized as fp32 MXU *accumulation* over the stored-dtype weights rather
     than casting the [D, V] matrix up — a bf16 lm_head would otherwise be
     re-materialized as 2x the bytes every decode step."""
-    return jnp.dot(hidden, params["lm_head"],
-                   preferred_element_type=jnp.float32)
+    lm_head = params["lm_head"]
+    if isinstance(lm_head, dict):
+        return _matmul_maybe_int8(hidden, lm_head).astype(jnp.float32)
+    return jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)
 
 
 def forward_logits(params, cfg, inputs_embeds, attn_mask=None, positions=None,

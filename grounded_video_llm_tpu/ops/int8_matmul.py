@@ -1,0 +1,76 @@
+"""Weight-only int8 matmul (Pallas) for the decode path.
+
+Decode on a single chip is weight-streaming bound (~7.6GB of bf16 per token
+for Phi-3.5). Storing the projection matrices int8 with per-output-channel
+scales halves the bytes; the kernel dequantizes tile-by-tile in VMEM (XLA's
+convert-then-dot materializes the full bf16 matrix in HBM and wins nothing —
+measured). Quantization is symmetric per-out-channel absmax, the standard
+weight-only serving scheme.
+
+Served accuracy: weight-only int8 with per-channel scales is generally within
+noise for LLM generation quality; it is opt-in (`serve/quantize.py`) and off
+by default.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weights_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """w [.., D, O] → (int8 values, fp32 scales [.., O]); symmetric absmax per
+    output channel."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[..., None, :]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _mm_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    x = x_ref[:, :]                    # [block_m, D] bf16
+    w = w_ref[:, :].astype(jnp.bfloat16)   # [D, block_o]
+    s = s_ref[0, :]                    # [block_o]
+    y = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[:, :] = (y * s[None, :]).astype(out_dtype)
+
+
+def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray,
+                block_o: int = 512, block_m: int = 512) -> jnp.ndarray:
+    """x [M, D] (bf16) @ int8 w_q [D, O] * scales [O] → [M, O] in x.dtype.
+
+    Grid blocks over (M, O); the weight tile dequantizes in VMEM. For decode
+    (M ≤ 8) this streams int8 bytes — half the bf16 traffic; for prefill-sized
+    M it behaves like a plain blocked matmul. Falls back to XLA dequant-matmul
+    when the int8 tiling constraints don't hold."""
+    M, D = x.shape
+    Dw, O = w_q.shape
+    assert D == Dw
+    if D % 32 != 0 or O % block_o != 0:
+        return (jnp.dot(x, w_q.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+                * scales[None, :]).astype(x.dtype)
+    bm = min(block_m, -(-M // 8) * 8)
+    Mp = -(-M // bm) * bm
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_mm_kernel, out_dtype=x.dtype),
+        grid=(Mp // bm, O // block_o),
+        in_specs=[
+            pl.BlockSpec((bm, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((D, block_o), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_o), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, block_o), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(x, w_q, scales[None, :])
+    return out[:M]

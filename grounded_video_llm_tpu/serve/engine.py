@@ -40,7 +40,19 @@ class InferenceResult:
 class InferenceEngine:
     def __init__(self, params, cfg: VLMConfig, tokenizer,
                  gen_cfg: Optional[GenerateConfig] = None,
-                 seed: int = 42, param_dtype=None):
+                 seed: int = 42, param_dtype=None,
+                 quantize: Optional[str] = None):
+        if quantize == "int8":
+            # opt-in weight-only int8 serving (serve/quantize.py): merges any
+            # LoRA overlay first, then quantizes the decoder projections
+            import jax as _jax
+
+            from ..train.lora import merge_lora
+            from .quantize import quantize_llm_for_serving
+
+            params = dict(params)
+            params["llm"] = _jax.jit(quantize_llm_for_serving)(
+                merge_lora(params["llm"]))
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

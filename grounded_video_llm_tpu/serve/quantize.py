@@ -1,0 +1,32 @@
+"""Opt-in int8 weight-only quantization of the LLM for serving.
+
+Replaces each decoder projection (qkv / o / gate_up / down) and the lm_head
+with {"q": int8, "scale": fp32} pairs consumed by models/llm._dense via
+ops/int8_matmul. Embeddings stay bf16 (lookups, not matmuls). Halves the
+per-token weight streaming, the single-chip decode bound. LoRA must be merged
+first (merge_lora) — adapters don't quantize."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.int8_matmul import quantize_weights_int8
+
+QUANT_KERNELS = ("qkv_kernel", "o_kernel", "gate_up_kernel", "down_kernel")
+
+
+def quantize_llm_for_serving(llm_params: dict) -> dict:
+    layers = dict(llm_params["layers"])
+    assert "lora" not in layers, "merge_lora before quantizing"
+    for name in QUANT_KERNELS:
+        q, s = quantize_weights_int8(layers[name])  # [L,D,O] → int8 + [L,O]
+        layers[name] = {"q": q, "scale": s}
+    out = dict(llm_params)
+    out["layers"] = layers
+    q, s = quantize_weights_int8(llm_params["lm_head"])
+    out["lm_head"] = {"q": q, "scale": s}
+    return out
+
+
+def is_quantized(kernel) -> bool:
+    return isinstance(kernel, dict) and "q" in kernel

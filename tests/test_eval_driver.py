@@ -1,0 +1,42 @@
+"""Eval harness drivers end-to-end on the micro model + demo video."""
+
+import json
+import os
+
+import jax
+import pytest
+
+from grounded_video_llm_tpu.core.config import GenerateConfig, micro_vlm_config
+from grounded_video_llm_tpu.models import vlm
+from grounded_video_llm_tpu.serve.engine import InferenceEngine
+from grounded_video_llm_tpu.serve.eval import (eval_grounding,
+                                               eval_multiple_choice)
+from grounded_video_llm_tpu.text.tokenizer import build_test_tokenizer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+    tok = build_test_tokenizer("phi3.5")
+    return InferenceEngine(params, cfg, tok,
+                           GenerateConfig(max_new_tokens=3, do_sample=False))
+
+
+def test_eval_grounding_driver(engine, demo_video):
+    annos = [{"video": os.path.basename(demo_video), "query": "a car drives",
+              "start": 1.0, "end": 5.0}]
+    out = eval_grounding(engine, annos, video_root=os.path.dirname(demo_video),
+                         max_items=1)
+    assert set(out) == {"R1@0.3", "R1@0.5", "R1@0.7", "mIoU"}
+    assert all(0.0 <= v <= 100.0 for v in out.values())
+
+
+def test_eval_mc_driver(engine, demo_video):
+    annos = [{"video": os.path.basename(demo_video),
+              "question": "What is shown?",
+              "options": ["a car", "a cat"], "answer": 0}]
+    out = eval_multiple_choice(engine, annos,
+                               video_root=os.path.dirname(demo_video),
+                               max_items=1)
+    assert 0.0 <= out["accuracy"] <= 100.0
