@@ -1,0 +1,49 @@
+"""Multi-chip serving: generate over FSDP/TP-sharded params on the 8-device
+CPU mesh must produce the same tokens as single-device execution (the
+deployment path for Llama-3-8B, which exceeds one v5e chip's HBM)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grounded_video_llm_tpu.core.config import micro_vlm_config
+from grounded_video_llm_tpu.models import vlm
+from grounded_video_llm_tpu.parallel.mesh import build_mesh
+from grounded_video_llm_tpu.parallel.partitioning import shard_params
+from grounded_video_llm_tpu.serve.generate import generate_tokens
+from grounded_video_llm_tpu.text.templates import IMAGE_TOKEN_INDEX
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 4, 2), (1, 8, 1)])
+def test_sharded_generate_matches_single_device(mesh_shape):
+    assert len(jax.devices()) == 8
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+
+    B, S = 1, 10
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 50, size=(B, S)).astype(np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    mask = np.ones((B, S), np.int32)
+    spatial = np.zeros((B, cfg.num_segs, 336, 336, 3), np.float32)
+    temporal = np.zeros((B, cfg.num_frames, 224, 224, 3), np.float32)
+    kwargs = dict(max_new_tokens=3, do_sample=False, temperature=0.0,
+                  eos_token_id=-2, pad_token_id=0)
+
+    ref, _ = generate_tokens(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                             jnp.asarray(spatial), jnp.asarray(temporal),
+                             jax.random.key(0), **kwargs)
+
+    data, fsdp, tensor = mesh_shape
+    mesh = build_mesh(data=data, fsdp=fsdp, tensor=tensor)
+    sharded = shard_params(params, mesh)
+    # qkv kernel [L, 64, 192] divides on every tested mesh; the vocab dim of
+    # the micro embed (814) doesn't divide 8 and correctly falls back
+    qkv_sharding = sharded["llm"]["layers"]["qkv_kernel"].sharding
+    assert not qkv_sharding.is_fully_replicated
+
+    out, _ = generate_tokens(sharded, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                             jnp.asarray(spatial), jnp.asarray(temporal),
+                             jax.random.key(0), **kwargs)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
