@@ -74,7 +74,11 @@ def _flash_fwd(q, k, v, bias, scale, causal):
     _, Sk, Hkv, _ = k.shape
     G = H // Hkv
 
-    block_q = min(BLOCK_Q, -(-Sq // 8) * 8)
+    # VMEM budget: the fp32 score tile (block_q x Sk) and its exp copy are the
+    # big consumers; keep 2*block_q*Sk*4B under ~8MB so q/k/v/o fit alongside
+    # (scoped vmem limit is 16MB)
+    budget_rows = max(64, (8 * 1024 * 1024) // (Sk * 8))
+    block_q = min(BLOCK_Q, budget_rows // 8 * 8, -(-Sq // 8) * 8)
     padded = -(-Sq // block_q) * block_q
     pad = padded - Sq
     if pad:

@@ -56,6 +56,20 @@ def single_device_mesh() -> Mesh:
     return build_mesh(devices=jax.devices()[:1], data=1, fsdp=1, tensor=1)
 
 
+def initialize_distributed() -> None:
+    """Multi-host init (the torchrun/NCCL-process-group equivalent, SURVEY
+    §2.6): on TPU pods jax.distributed picks coordinator/rank from the
+    environment. Safe to call on single-host (no-op on failure)."""
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host / already initialized
+
+
+def process_info():
+    return jax.process_index(), jax.process_count()
+
+
 def batch_spec() -> P:
     """Batch dim sharded over data+fsdp jointly (pure-DP data layout: every
     device gets a distinct micro-batch shard; params replicated over data and

@@ -54,40 +54,85 @@ def create_train_state(params, tx, mesh: Mesh | None = None) -> TrainState:
     return TrainState(params, opt_state, step)
 
 
+_IS_NONE = lambda x: x is None
+
+
+def partition_params(params, mask):
+    """Split a param tree by a matching bool tree into (trainable, frozen),
+    each with None at the other side's leaves."""
+    trainable = jax.tree_util.tree_map(lambda p, m: p if m else None,
+                                       params, mask)
+    frozen = jax.tree_util.tree_map(lambda p, m: None if m else p,
+                                    params, mask)
+    return trainable, frozen
+
+
+def merge_params(a, b):
+    return jax.tree_util.tree_map(lambda x, y: y if x is None else x, a, b,
+                                  is_leaf=_IS_NONE)
+
+
 def make_train_step(cfg: VLMConfig, tx, grad_accum: int = 1,
-                    remat: bool = True):
+                    remat: bool = True, trainable_mask=None):
     """Build the jitted train step.
 
     batch: vlm.Batch with leaves [B, ...] (grad_accum=1) or [A, B_micro, ...]
     (grad_accum>1; the leading axis is scanned on-device; weights update once —
-    exact parity with the reference's normalized accumulation loop)."""
+    exact parity with the reference's normalized accumulation loop).
 
-    def loss_fn(params, mb: vlm.Batch):
+    trainable_mask: bool tree marking trainable params. When given, autodiff
+    runs w.r.t. the trainable partition only — without it jax.grad
+    materializes a full-size gradient tree (10.2GB for the bf16 flagship:
+    measured HBM OOM on one v5e). Frozen leaves get symbolic zeros that the
+    optimizer's set_to_zero group and XLA's add-zero simplification erase."""
+
+    def loss_fn(trainable, frozen, mb: vlm.Batch):
+        params = merge_params(trainable, frozen)
         return vlm.forward_loss(params, cfg, mb, remat=remat)
 
     def step_fn(state: TrainState, batch: vlm.Batch):
+        if trainable_mask is None:
+            trainable, frozen = state.params, None
+
+            def lf(t, mb):
+                return vlm.forward_loss(t, cfg, mb, remat=remat)
+        else:
+            trainable, frozen = partition_params(state.params, trainable_mask)
+
+            def lf(t, mb):
+                return loss_fn(t, frozen, mb)
+
+        # (None leaves are empty pytree nodes — plain tree_map skips them)
         if grad_accum == 1:
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+            loss, g_train = jax.value_and_grad(lf)(trainable, batch)
         else:
             def accum_body(carry, mb):
                 loss_sum, grad_sum = carry
-                loss, grads = jax.value_and_grad(loss_fn)(state.params, mb)
+                loss, grads = jax.value_and_grad(lf)(trainable, mb)
                 grad_sum = jax.tree_util.tree_map(
                     lambda a, g: a + g.astype(a.dtype), grad_sum, grads)
                 return (loss_sum + loss, grad_sum), None
 
             zero_grads = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+                lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
             (loss_sum, grad_sum), _ = jax.lax.scan(
                 accum_body, (jnp.zeros((), jnp.float32), zero_grads), batch)
             loss = loss_sum / grad_accum
-            grads = jax.tree_util.tree_map(
+            g_train = jax.tree_util.tree_map(
                 lambda g, p: (g / grad_accum).astype(p.dtype),
-                grad_sum, state.params)
+                grad_sum, trainable)
+
+        if trainable_mask is None:
+            grads = g_train
+        else:
+            # frozen side: symbolic zeros (set_to_zero group discards them and
+            # p + 0 folds away — no frozen-size gradient buffers materialize)
+            zeros_frozen = jax.tree_util.tree_map(jnp.zeros_like, frozen)
+            grads = merge_params(g_train, zeros_frozen)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        gnorm = optax.global_norm(jax.tree_util.tree_leaves(g_train))
         return (TrainState(params, opt_state, state.step + 1),
                 {"loss": loss.astype(jnp.float32),
                  "grad_norm": gnorm.astype(jnp.float32)})

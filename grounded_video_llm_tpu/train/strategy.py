@@ -86,8 +86,11 @@ class TrainingStrategy:
             0.0, self.stage.lr_llm or self.stage.lr_video_projector, warmup,
             max(total_steps, warmup + 1), 0.0)
         self.state = create_train_state(params, self.tx, mesh=self.mesh)
+        from .optimizer import trainable_mask as _tm
+
         self.step_fn = make_train_step(cfg, self.tx,
-                                       grad_accum=self.grad_accum, remat=True)
+                                       grad_accum=self.grad_accum, remat=True,
+                                       trainable_mask=_tm(self.labels))
         self.metrics = Metrics(
             run_id=f"{stage_name}-{cfg.llm_name}", run_dir=run_dir,
             hparams={"stage": stage_name, "llm": cfg.llm_name,

@@ -168,20 +168,19 @@ def test_sharded_train_step_8dev():
     stage = STAGE_PRESETS["pretrain"]
     tx, _ = make_optimizer(stage, total_steps=10, params=params)
 
-    specs = param_specs(params, mesh)
-    flat = {"/".join(str(getattr(p, "key", p)) for p in path): s
-            for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]}
-    # at least the embed should actually be sharded over fsdp
-    assert flat["llm/embed"] != jax.sharding.PartitionSpec()
-
     state = create_train_state(params, tx, mesh=mesh)
+    # qkv kernels [L, 64, 192] divide the fsdp axis → genuinely sharded
+    # (micro embed's vocab 814 does NOT divide 4 and correctly replicates)
+    qkv_in = state.params["llm"]["layers"]["qkv_kernel"].sharding
+    assert not qkv_in.is_fully_replicated
+
     step = make_train_step(cfg, tx, remat=True)
     batch = shard_batch(_make_batch(cfg, B=8), mesh)
     new_state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
-    # params remain sharded after the step
-    emb_sharding = new_state.params["llm"]["embed"].sharding
-    assert not emb_sharding.is_fully_replicated
+    # params remain sharded after the step (donated buffers keep placement)
+    qkv_out = new_state.params["llm"]["layers"]["qkv_kernel"].sharding
+    assert not qkv_out.is_fully_replicated
 
     # second step runs from donated state
     new_state2, _ = step(new_state, batch)
