@@ -113,6 +113,122 @@ def _flash_fwd(q, k, v, bias, scale, causal):
     return out
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                scale, causal, block_q, sk, sq_orig, n_blocks, group):
+    """Backward program for one (batch, q-head, q-block): recompute p
+    (flash-style, no saved probabilities), write this block's dq, accumulate
+    dk/dv in fp32 VMEM scratch across q blocks AND across the GQA group — the
+    sequential grid revisits the same dk/dv output block for group*n_blocks
+    consecutive steps."""
+    h = pl.program_id(1)
+    j = pl.program_id(2)
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    bias_row = bias_ref[0, 0, :][None, :]
+
+    @pl.when((h % group == 0) & (j == 0))
+    def _():
+        dk_acc[:, :] = jnp.zeros_like(dk_acc)
+        dv_acc[:, :] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0, :, :]           # [block_q, D]
+    do = do_ref[0, 0, :, :]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + bias_row
+    if causal:
+        qpos = (j * block_q
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
+                + (sk - sq_orig))
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
+        s = jnp.where(kpos <= qpos, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)          # [bq, Sk] fp32
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [bq, Sk]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)     # [bq, 1]
+    ds = p * (dp - delta)                               # [bq, Sk] fp32
+
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+
+    dk_acc[:, :] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [Sk, D]
+    dv_acc[:, :] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Sk, D]
+
+    @pl.when((h % group == group - 1) & (j == n_blocks - 1))
+    def _():
+        dk_ref[0, 0, :, :] = dk_acc[:, :].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_acc[:, :].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, bias, do, scale, causal):
+    B, Sq, H, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    G = H // Hkv
+
+    # VMEM: 4 fp32 [block_q, Sk] temporaries + 2 fp32 [Sk, D] accumulators +
+    # pipelined k/v/dk/dv [Sk, D] refs must fit 16MB
+    budget_rows = max(32, (4 * 1024 * 1024) // (Sk * 16))
+    block_q = min(BLOCK_Q, budget_rows // 8 * 8, -(-Sq // 8) * 8)
+    padded = -(-Sq // block_q) * block_q
+    pad = padded - Sq
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    Sq_p = q.shape[1]
+    n_blocks = Sq_p // block_q
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot = do.transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
+                               block_q=block_q, sk=Sk, sq_orig=Sq,
+                               n_blocks=n_blocks, group=G)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B, H, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, j: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, j: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda b, h, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, j: (b, h, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, j: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, j: (b, h // G, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Sk, D), jnp.float32),
+            pltpu.VMEM((Sk, D), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qt, kt, vt, bias[:, None, :], dot)
+    dq = dq.transpose(0, 2, 1, 3)
+    if pad:
+        dq = dq[:, :Sq]
+    return dq, dk.transpose(0, 2, 1, 3), dv.transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash_mha_core(q, k, v, bias, causal, scale):
     return _flash_fwd(q, k, v, bias, scale, causal)
@@ -123,17 +239,8 @@ def _core_fwd(q, k, v, bias, causal, scale):
 
 
 def _core_bwd(causal, scale, residuals, g):
-    from .attention import xla_mha
-
     q, k, v, bias = residuals
-    mask4 = bias[:, None, None, :] >= -1.0  # bias is 0 (keep) or NEG_INF
-
-    def ref(q_, k_, v_):
-        return xla_mha(q_, k_, v_, causal=causal, mask=mask4.astype(jnp.int32),
-                       scale=scale)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _flash_bwd(q, k, v, bias, g, scale, causal)
     return dq, dk, dv, jnp.zeros_like(bias)
 
 

@@ -47,15 +47,37 @@ def test_flash_unaligned_seq_pads():
                                rtol=2e-4, atol=2e-5)
 
 
-def test_flash_backward_matches_xla():
-    B, S, H, D = 1, 128, 2, 16
-    q, k, v = _rand((B, S, H, D)), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("hkv", [2, 1])
+@pytest.mark.parametrize("sq", [128, 100])
+def test_flash_backward_matches_xla(causal, hkv, sq):
+    B, H, D = 1, 2, 16
+    q = _rand((B, sq, H, D))
+    k, v = _rand((B, sq, hkv, D), 1), _rand((B, sq, hkv, D), 2)
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_mha(q, k, v, causal=True) ** 2)
+        return jnp.sum(flash_mha(q, k, v, causal=causal) ** 2)
 
     def loss_xla(q, k, v):
-        return jnp.sum(xla_mha(q, k, v, causal=True) ** 2)
+        return jnp.sum(xla_mha(q, k, v, causal=causal) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
+def test_flash_backward_with_padding_mask():
+    B, S, H, D = 1, 128, 2, 16
+    q, k, v = _rand((B, S, H, D)), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+    mask = jnp.asarray(np.r_[np.ones(90), np.zeros(38)][None], jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_mha(q, k, v, causal=True, mask=mask) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_mha(q, k, v, causal=True, mask=mask) ** 2)
 
     gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
