@@ -129,6 +129,34 @@ class InferenceEngine:
         return decode_texts(self.tokenizer, tokens, lengths,
                             self.tokenizer.eos_token_id)
 
+    def run_batch(self, video_paths: List[str], prompts: List[str],
+                  mode: str = "qa",
+                  gen_cfg: Optional[GenerateConfig] = None,
+                  decode_workers: int = 4) -> List[InferenceResult]:
+        """Batched serving: videos decode/preprocess on host threads (overlaps
+        with TPU compute of the previous batch in a pipeline), then one
+        batched generate call. The throughput path for the multi-benchmark
+        eval configs (BASELINE.json config 5)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+            prep = list(pool.map(self.preprocess_video, video_paths))
+        temporal = np.stack([p[0] for p in prep])
+        spatial = np.stack([p[1] for p in prep])
+        durations = [p[2] for p in prep]
+        text_prompts = [self.build_prompt(p, mode, d)
+                        for p, d in zip(prompts, durations)]
+        texts = self.generate(text_prompts, temporal, spatial, gen_cfg)
+        out = []
+        for text, duration in zip(texts, durations):
+            parsed = codec.parse_time_interval(text, duration,
+                                               self.cfg.num_temporal_tokens,
+                                               self.cfg.llm_name)
+            intervals = codec.extract_intervals(text, duration,
+                                                self.cfg.num_temporal_tokens)
+            out.append(InferenceResult(text, parsed, duration, intervals))
+        return out
+
     def run(self, video_path: str, prompt: str, mode: str = "qa",
             gen_cfg: Optional[GenerateConfig] = None) -> InferenceResult:
         temporal, spatial, duration = self.preprocess_video(video_path)

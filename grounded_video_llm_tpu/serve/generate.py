@@ -24,7 +24,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.config import GenerateConfig, VLMConfig
+from ..core.config import VLMConfig
 from ..models import llm as llm_mod
 from ..models import vlm
 

@@ -40,3 +40,12 @@ def test_eval_mc_driver(engine, demo_video):
                                video_root=os.path.dirname(demo_video),
                                max_items=1)
     assert 0.0 <= out["accuracy"] <= 100.0
+
+
+def test_run_batch(engine, demo_video):
+    res = engine.run_batch([demo_video, demo_video],
+                           ["What happens?", "When does the car move?"],
+                           mode="qa")
+    assert len(res) == 2
+    assert all(r.duration > 0 for r in res)
+    assert all(isinstance(r.text, str) for r in res)
