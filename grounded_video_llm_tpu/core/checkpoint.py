@@ -75,7 +75,8 @@ def export_reference_pth(path: str, module_dicts: Dict[str, Dict[str, np.ndarray
     import torch
 
     payload = {"model": {
-        k: {name: torch.from_numpy(np.asarray(v)) for name, v in d.items()}
+        k: {name: torch.from_numpy(np.array(v, copy=True))
+            for name, v in d.items()}
         for k, d in module_dicts.items()}}
     torch.save(payload, path)
 

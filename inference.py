@@ -56,6 +56,8 @@ def parse_args():
     parser.add_argument("--max_new_tokens", type=int, default=2048)
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--top_p", type=float, default=None)
+    parser.add_argument("--debug_tiny", action="store_true",
+                        help="micro model dims (pipeline smoke test; CPU-safe)")
     return parser.parse_args()
 
 
@@ -69,9 +71,14 @@ def main():
     from grounded_video_llm_tpu.core.config import GenerateConfig, vlm_config
     from grounded_video_llm_tpu.serve.engine import InferenceEngine
 
-    cfg = vlm_config(args.llm, stage="inference",
-                     num_frames=args.num_frames, num_segs=args.num_segs,
-                     max_txt_len=args.max_txt_len)
+    if args.debug_tiny:
+        from grounded_video_llm_tpu.core.config import micro_vlm_config
+
+        cfg = micro_vlm_config(args.llm)
+    else:
+        cfg = vlm_config(args.llm, stage="inference",
+                         num_frames=args.num_frames, num_segs=args.num_segs,
+                         max_txt_len=args.max_txt_len)
     params = build_params(
         cfg, weight_root=args.pretrained_vision_proj_llm_path or None,
         video_encoder_path=args.pretrained_video_path or None,

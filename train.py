@@ -47,6 +47,8 @@ def parse_args():
     parser.add_argument("--pretrained_proj", type=str, default="",
                         help="previous-stage checkpoint (stage handoff, "
                         "reference train.py:117-124)")
+    parser.add_argument("--debug_tiny", action="store_true",
+                        help="micro model dims (pipeline smoke test; CPU-safe)")
     return parser.parse_args()
 
 
@@ -63,12 +65,21 @@ def main():
     from grounded_video_llm_tpu.data.datasets import DATASETS
     from grounded_video_llm_tpu.train.strategy import TrainingStrategy
 
-    cfg = vlm_config(args.llm, stage=args.stage, num_frames=args.num_frames,
-                     num_segs=args.num_segs)
+    if args.debug_tiny:
+        from grounded_video_llm_tpu.core.config import micro_vlm_config
+
+        cfg = micro_vlm_config(args.llm)
+        args.num_frames, args.num_segs = cfg.num_frames, cfg.num_segs
+    else:
+        cfg = vlm_config(args.llm, stage=args.stage,
+                         num_frames=args.num_frames, num_segs=args.num_segs)
+    import jax.numpy as jnp
+
     params = build_params(
         cfg, weight_root=args.pretrained_vision_proj_llm_path or None,
         video_encoder_path=args.pretrained_video_path or None,
-        stage_ckpt=args.pretrained_proj or None, seed=args.seed)
+        stage_ckpt=args.pretrained_proj or None, seed=args.seed,
+        dtype=jnp.float32 if args.debug_tiny else jnp.bfloat16)
     tokenizer = build_tokenizer(
         cfg, args.tokenizer_path or None,
         expand=STAGE_PRESETS[args.stage].expand_vocab)
