@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import checkpoint as ckpt
-from ..core.config import NUM_SPECIAL_TOKENS, VLMConfig
+from ..core.config import VLMConfig
 from ..models import convert, vlm
 from ..text.tokenizer import load_tokenizer
 

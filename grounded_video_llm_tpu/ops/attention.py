@@ -13,7 +13,6 @@ no materialized K/V head repeat.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

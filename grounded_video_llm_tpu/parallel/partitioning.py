@@ -19,12 +19,12 @@ the same rules serve the 8-way test mesh and tiny-dim configs.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, FSDP_AXIS, TENSOR_AXIS
+from .mesh import FSDP_AXIS, TENSOR_AXIS
 
 # (regex over '/'-joined path, spec builder given ndim)
 # Specs are written for the *trailing* dims; leading stacked-layer axes get None.

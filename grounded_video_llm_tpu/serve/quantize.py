@@ -8,8 +8,6 @@ first (merge_lora) — adapters don't quantize."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..ops.int8_matmul import quantize_weights_int8
 
 QUANT_KERNELS = ("qkv_kernel", "o_kernel", "gate_up_kernel", "down_kernel")

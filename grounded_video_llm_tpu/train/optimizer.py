@@ -13,8 +13,6 @@ group — no torch requires_grad needed.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import optax
 
