@@ -26,7 +26,8 @@ import numpy as np
 
 A100_BASELINE_VIDEOS_PER_SEC = 1.0
 DECODE_TOKENS = 64
-BATCH = 2  # serving batch; params (10.2GB bf16) + 2x KV cache fit one v5e chip
+BATCH = 3   # int8 weight-only serving fits batch 3 on one v5e (bf16 OOMs at 3)
+QUANTIZE = True  # weight-only int8, per-out-channel scales (serve/quantize.py)
 WARMUP_ITERS = 1
 MEASURE_ITERS = 3
 
@@ -42,6 +43,15 @@ def main():
     # one jitted program → one compile, instead of per-initializer dispatch
     params = jax.jit(lambda k: vlm.init_params(k, cfg, dtype=jnp.bfloat16))(
         jax.random.key(0))
+    if QUANTIZE:
+        from grounded_video_llm_tpu.serve.quantize import \
+            quantize_llm_for_serving
+
+        params = dict(params)
+        params["llm"] = jax.jit(quantize_llm_for_serving,
+                                donate_argnums=0)(params["llm"])
+        print("serving mode: weight-only int8 (per-out-channel scales)",
+              file=sys.stderr)
     jax.block_until_ready(params)
     print(f"param init: {time.time()-t0:.1f}s", file=sys.stderr)
 

@@ -129,8 +129,14 @@ def forward_hidden(
     positions: Optional[jnp.ndarray] = None,  # [B, S]
     remat: bool = False,
     collect_kv: bool = False,
+    kv_pad_to: Optional[int] = None,
 ):
-    """Run all decoder layers; returns (hidden [B,S,D], stacked (k,v) or None)."""
+    """Run all decoder layers; returns (hidden [B,S,D], stacked (k,v) or None).
+
+    kv_pad_to: with collect_kv, pad each layer's k/v to this length INSIDE the
+    scan so the stacked ys buffer is allocated directly at cache size — padding
+    afterwards would briefly hold prompt-length stacks AND the full cache
+    (measured: the duplicate ~5.5GB pushed batch-4 serving out of HBM)."""
     B, S, D = inputs_embeds.shape
     if positions is None:
         if attn_mask is not None:
@@ -147,7 +153,13 @@ def forward_hidden(
 
     def body(h, lp):
         h2, kv = layer_fn(h, lp, cfg, cos, sin, attn_mask)
-        return h2, (kv if collect_kv else None)
+        if not collect_kv:
+            return h2, None
+        k, v = kv
+        if kv_pad_to is not None and kv_pad_to > S:
+            pad = ((0, 0), (0, kv_pad_to - S), (0, 0), (0, 0))
+            k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+        return h2, (k, v)
 
     x, kvs = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
@@ -204,17 +216,14 @@ def prefill(
     length via the *padded* length and re-masking at decode with the original
     attn_mask prefix."""
     B, S, D = inputs_embeds.shape
-    hidden, kvs = forward_hidden(params, cfg, inputs_embeds, attn_mask,
-                                 collect_kv=True)
-    k_stack, v_stack = kvs  # [L, B, S, Hkv, Dh]
     max_len = cache.k.shape[2]
-    k_new = jax.lax.dynamic_update_slice(
-        cache.k, k_stack.astype(cache.k.dtype), (0, 0, 0, 0, 0))
-    v_new = jax.lax.dynamic_update_slice(
-        cache.v, v_stack.astype(cache.v.dtype), (0, 0, 0, 0, 0))
+    hidden, kvs = forward_hidden(params, cfg, inputs_embeds, attn_mask,
+                                 collect_kv=True, kv_pad_to=max_len)
+    k_stack, v_stack = kvs  # [L, B, max_len, Hkv, Dh] — allocated AT cache size
     length = jnp.full((B,), S, jnp.int32)
     logits = logits_from_hidden(params, hidden[:, -1:, :])
-    return logits[:, 0], KVCache(k_new, v_new, length)
+    return logits[:, 0], KVCache(k_stack.astype(cache.k.dtype),
+                                 v_stack.astype(cache.v.dtype), length)
 
 
 def decode_step(

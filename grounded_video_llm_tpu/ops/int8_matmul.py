@@ -56,7 +56,10 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray,
         return (jnp.dot(x, w_q.astype(x.dtype),
                         preferred_element_type=jnp.float32)
                 * scales[None, :]).astype(x.dtype)
-    bm = min(block_m, -(-M // 8) * 8)
+    # VMEM: the [bm, D] bf16 x block is double-buffered — keep it ≤ ~2MB so it
+    # coexists with the [D, block_o] int8 weight tile (+ its bf16 dequant)
+    bm_budget = max(8, (2 * 1024 * 1024) // (D * 2) // 8 * 8)
+    bm = min(block_m, bm_budget, -(-M // 8) * 8)
     Mp = -(-M // bm) * bm
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
