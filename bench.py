@@ -26,8 +26,9 @@ import numpy as np
 
 A100_BASELINE_VIDEOS_PER_SEC = 1.0
 DECODE_TOKENS = 64
-BATCH = 3   # int8 weight-only serving fits batch 3 on one v5e (bf16 OOMs at 3)
-QUANTIZE = True  # weight-only int8, per-out-channel scales (serve/quantize.py)
+BATCH = 6   # int8 weights + int8 KV cache fit batch 6 on one v5e
+QUANTIZE = True       # weight-only int8, per-out-channel scales (serve/quantize.py)
+QUANTIZE_CACHE = True  # int8 KV cache, per-position-head scales
 WARMUP_ITERS = 1
 MEASURE_ITERS = 3
 
@@ -69,7 +70,7 @@ def main():
             temporal, jax.random.key(seed),
             max_new_tokens=DECODE_TOKENS, temperature=0.2, do_sample=True,
             eos_token_id=-1,  # never emitted → full-length decode, stable timing
-            pad_token_id=0)
+            pad_token_id=0, quantize_cache=QUANTIZE_CACHE)
         # host fetch: block_until_ready is not a reliable barrier on the axon
         # backend (verified: it returned in 3ms for a 3s computation)
         return np.asarray(toks)
@@ -92,7 +93,7 @@ def main():
             params, cfg, jnp.asarray(ids), jnp.asarray(attn), spatial,
             temporal, jax.random.key(seed),
             max_new_tokens=1, temperature=0.2, do_sample=True,
-            eos_token_id=-1, pad_token_id=0)
+            eos_token_id=-1, pad_token_id=0, quantize_cache=QUANTIZE_CACHE)
         return np.asarray(toks)
 
     run_short(0)  # compile

@@ -42,6 +42,21 @@ class KVCache(NamedTuple):
                    jnp.zeros((batch,), jnp.int32))
 
 
+class QuantKVCache(NamedTuple):
+    """Int8 KV cache (per-position-per-head scales): halves cache HBM, the
+    capacity wall limiting the serving batch on one chip. HEAD-MAJOR layout —
+    see ops/decode_attention_int8 for the tiling rationale."""
+    k: jnp.ndarray        # [L, B, Hkv, max_len, Dh] int8
+    k_scale: jnp.ndarray  # [L, B, Hkv, 1, max_len] f32
+    v: jnp.ndarray        # int8
+    v_scale: jnp.ndarray  # f32
+    length: jnp.ndarray   # [B] int32
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
 def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32):
     D = cfg.hidden_size
     I = cfg.intermediate_size
@@ -130,6 +145,7 @@ def forward_hidden(
     remat: bool = False,
     collect_kv: bool = False,
     kv_pad_to: Optional[int] = None,
+    quantize_kv: bool = False,
 ):
     """Run all decoder layers; returns (hidden [B,S,D], stacked (k,v) or None).
 
@@ -156,6 +172,23 @@ def forward_hidden(
         if not collect_kv:
             return h2, None
         k, v = kv
+        if quantize_kv:
+            from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
+
+            # head-major int8 layout: [B, Hkv, S(pad), D] + scales [B,Hkv,1,S]
+            k, ks = qkv_fn(k)   # [B,S,Hkv,D] i8, [B,S,Hkv] f32
+            v, vs = qkv_fn(v)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+            ks = ks.transpose(0, 2, 1)[:, :, None, :]
+            vs = vs.transpose(0, 2, 1)[:, :, None, :]
+            if kv_pad_to is not None and kv_pad_to > S:
+                pad = ((0, 0), (0, 0), (0, kv_pad_to - S), (0, 0))
+                pad_s = ((0, 0), (0, 0), (0, 0), (0, kv_pad_to - S))
+                k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+                ks = jnp.pad(ks, pad_s, constant_values=1.0)
+                vs = jnp.pad(vs, pad_s, constant_values=1.0)
+            return h2, ((k, ks), (v, vs))
         if kv_pad_to is not None and kv_pad_to > S:
             pad = ((0, 0), (0, kv_pad_to - S), (0, 0), (0, 0))
             k, v = jnp.pad(k, pad), jnp.pad(v, pad)
@@ -207,7 +240,8 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 def prefill(
     params, cfg: LLMConfig, inputs_embeds: jnp.ndarray,
     attn_mask: jnp.ndarray, cache: KVCache,
-) -> Tuple[jnp.ndarray, KVCache]:
+    quantize_cache: bool = False,
+):
     """Run the prompt once, populate the cache, return last-position logits.
 
     Prompts are left-padded (reference llava_next_video.py:630-647), so the
@@ -218,24 +252,30 @@ def prefill(
     B, S, D = inputs_embeds.shape
     max_len = cache.k.shape[2]
     hidden, kvs = forward_hidden(params, cfg, inputs_embeds, attn_mask,
-                                 collect_kv=True, kv_pad_to=max_len)
-    k_stack, v_stack = kvs  # [L, B, max_len, Hkv, Dh] — allocated AT cache size
+                                 collect_kv=True, kv_pad_to=max_len,
+                                 quantize_kv=quantize_cache)
     length = jnp.full((B,), S, jnp.int32)
     logits = logits_from_hidden(params, hidden[:, -1:, :])
+    if quantize_cache:
+        (kq, ks), (vq, vs) = kvs
+        return logits[:, 0], QuantKVCache(kq, ks, vq, vs, length)
+    k_stack, v_stack = kvs  # [L, B, max_len, Hkv, Dh] — allocated AT cache size
     return logits[:, 0], KVCache(k_stack.astype(cache.k.dtype),
                                  v_stack.astype(cache.v.dtype), length)
 
 
 def decode_step(
     params, cfg: LLMConfig, token_embeds: jnp.ndarray,  # [B, 1, D]
-    cache: KVCache, valid_mask: jnp.ndarray,  # [B, max_len] — attendable slots
+    cache, valid_mask: jnp.ndarray,  # [B, max_len] — attendable slots
     positions: jnp.ndarray,  # [B] position ids of the new token
-) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
+):
     """One decode step: append k/v at slot cache.length, attend over valid
     slots (valid_mask covers left-padding holes from the prefill). Returns
-    (logits [B, V], cache, updated valid_mask)."""
+    (logits [B, V], cache, updated valid_mask). cache: KVCache (bf16) or
+    QuantKVCache (int8 + scales, via the Pallas dequant-in-VMEM kernel)."""
     B = token_embeds.shape[0]
-    max_len = cache.k.shape[2]
+    quant = isinstance(cache, QuantKVCache)
+    max_len = cache.max_len if quant else cache.k.shape[2]
     cos, sin = llm_rope_tables(cfg, positions[:, None], seq_len_hint=max_len)
 
     write_idx = cache.length  # [B]
@@ -245,19 +285,32 @@ def decode_step(
         # as an extra attention slot and are emitted as tiny scan outputs.
         # Writing the caches here would stack two full-cache copies per layer
         # as scan ys (~8 ms/token of HBM copy traffic at a 3.6k cache).
-        lp, k_cache, v_cache = layer_inputs  # [B, max_len, Hkv, Dh]
+        if quant:
+            lp, k_cache, k_sc, v_cache, v_sc = layer_inputs
+        else:
+            lp, k_cache, v_cache = layer_inputs  # [B, max_len, Hkv, Dh]
         h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
         q, k, v = _qkv(h, lp, cfg)
         q, k = apply_rope(q, k, cos, sin)
-        attn = decode_attention(q, k_cache, v_cache, valid_mask,
-                                k_new=k, v_new=v)
+        if quant:
+            from ..ops.decode_attention_int8 import decode_attention_int8
+
+            attn = decode_attention_int8(
+                q, k_cache, k_sc, v_cache, v_sc,
+                valid_mask.astype(jnp.int32), k, v,
+                scale=cfg.head_dim ** -0.5)
+        else:
+            attn = decode_attention(q, k_cache, v_cache, valid_mask,
+                                    k_new=k, v_new=v)
         x = x + _dense(attn.reshape(B, 1, cfg.q_dim), lp["o_kernel"], lp, "o")
         h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
         x = x + _mlp(h, lp, cfg)
         return x, (k[:, 0], v[:, 0])
 
-    x, (new_ks, new_vs) = jax.lax.scan(
-        body, token_embeds, (params["layers"], cache.k, cache.v))
+    xs = ((params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale)
+          if quant else (params["layers"], cache.k, cache.v))
+    x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+
     # single deferred write per cache: [L, B, Hkv, Dh] rows at write_idx —
     # while_loop carries alias in place, so this is slice-sized traffic
     def write(cache_arr, new_val):
@@ -266,10 +319,34 @@ def decode_step(
         return jax.vmap(one_b, in_axes=(1, 1, 0), out_axes=1)(
             cache_arr, new_val.astype(cache_arr.dtype), write_idx)
 
-    k_cache = write(cache.k, new_ks)
-    v_cache = write(cache.v, new_vs)
+    def write_hm(cache_arr, new_val):  # [L,B,Hkv,max,D], [L,B,Hkv,D]
+        def one_b(c, nv, idx):  # c [L,Hkv,max,D], nv [L,Hkv,D]
+            return jax.lax.dynamic_update_slice(c, nv[:, :, None],
+                                                (0, 0, idx, 0))
+        return jax.vmap(one_b, in_axes=(1, 1, 0), out_axes=1)(
+            cache_arr, new_val.astype(cache_arr.dtype), write_idx)
+
+    def write_scale(scale_arr, new_scale):  # [L,B,Hkv,1,max], [L,B,Hkv]
+        def one_b(c, nv, idx):  # c [L,Hkv,1,max], nv [L,Hkv]
+            return jax.lax.dynamic_update_slice(c, nv[:, :, None, None],
+                                                (0, 0, 0, idx))
+        return jax.vmap(one_b, in_axes=(1, 1, 0), out_axes=1)(
+            scale_arr, new_scale, write_idx)
+
+    if quant:
+        from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
+
+        kq, ksc = qkv_fn(new_ks)   # [L,B,Hkv,D] i8, [L,B,Hkv]
+        vq, vsc = qkv_fn(new_vs)
+        new_cache = QuantKVCache(
+            write_hm(cache.k, kq), write_scale(cache.k_scale, ksc),
+            write_hm(cache.v, vq), write_scale(cache.v_scale, vsc),
+            cache.length + 1)
+    else:
+        new_cache = KVCache(write(cache.k, new_ks), write(cache.v, new_vs),
+                            cache.length + 1)
     slot = jnp.arange(max_len)[None, :] == write_idx[:, None]
     valid_mask = valid_mask.astype(bool) | slot
     x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
     logits = logits_from_hidden(params, x)[:, 0]
-    return logits, KVCache(k_cache, v_cache, cache.length + 1), valid_mask
+    return logits, new_cache, valid_mask

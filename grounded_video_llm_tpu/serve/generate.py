@@ -62,7 +62,8 @@ class DecodeState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
-                     "do_sample", "eos_token_id", "pad_token_id"))
+                     "do_sample", "eos_token_id", "pad_token_id",
+                     "quantize_cache"))
 def generate_tokens(
     params,
     cfg: VLMConfig,
@@ -78,6 +79,7 @@ def generate_tokens(
     do_sample: bool = True,
     eos_token_id: int = 2,
     pad_token_id: int = 0,
+    quantize_cache: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (tokens [B, max_new_tokens] pad-filled after EOS, lengths [B])."""
     B, S = input_ids.shape
@@ -89,7 +91,8 @@ def generate_tokens(
     max_len = S_full + max_new_tokens
 
     cache = llm_mod.KVCache.create(cfg.llm, B, max_len, dtype=embeds.dtype)
-    logits, cache = llm_mod.prefill(params["llm"], cfg.llm, embeds, mask, cache)
+    logits, cache = llm_mod.prefill(params["llm"], cfg.llm, embeds, mask,
+                                    cache, quantize_cache=quantize_cache)
 
     valid0 = jnp.zeros((B, max_len), bool).at[:, :S_full].set(mask.astype(bool))
     # next position continues after the last valid position (left-padded →
@@ -108,9 +111,10 @@ def generate_tokens(
         return (st.step < max_new_tokens) & ~jnp.all(st.done)
 
     def body(st: DecodeState):
+        # dtype follows the embedding table, NOT the cache (int8-cache mode)
         token_embeds = params["llm"]["embed"][st.cur_token][:, None, :]
         logits, cache, valid = llm_mod.decode_step(
-            params["llm"], cfg.llm, token_embeds.astype(st.cache.k.dtype),
+            params["llm"], cfg.llm, token_embeds,
             st.cache, st.valid_mask, st.positions)
         rng, sub = jax.random.split(st.rng)
         nxt = sample_logits(logits, sub, temperature, top_p, do_sample)
