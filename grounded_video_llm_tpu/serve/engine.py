@@ -100,7 +100,9 @@ class InferenceEngine:
             seqs, self.tokenizer.pad_token_id, self.cfg.max_txt_len)
 
         self._rng, sub = jax.random.split(self._rng)
-        dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
+        # pixel dtype follows the embedding table (first-leaf dtype would pick
+        # int8 under quantized serving)
+        dtype = self.params["llm"]["embed"].dtype
         if g.num_beams > 1:
             from .beam import beam_search_tokens
 

@@ -149,3 +149,49 @@ def test_training_strategy_end_to_end(anno_file, tmp_path):
             cfg.llm.padded_vocab_size
     finally:
         STAGE_PRESETS["grounded"] = orig
+
+
+def test_strategy_checkpoint_resume_roundtrip(anno_file, tmp_path):
+    """save_checkpoint → load_resume restores params, step, and loader state."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from grounded_video_llm_tpu.core.config import STAGE_PRESETS
+    from grounded_video_llm_tpu.models import vlm
+    from grounded_video_llm_tpu.parallel.mesh import build_mesh
+    from grounded_video_llm_tpu.train.strategy import TrainingStrategy
+
+    cfg = micro_vlm_config("phi3.5")
+    tok = build_test_tokenizer("phi3.5")
+    anno, root = anno_file
+    ds = MixGrounded(anno_path=anno, video_path=root, num_frames=cfg.num_frames,
+                     num_segs=cfg.num_segs, sample="middle")
+    orig = STAGE_PRESETS["pretrain"]
+    STAGE_PRESETS["pretrain"] = dataclasses.replace(
+        orig, global_batch_size=2, per_device_batch_size=2, epochs=1)
+    try:
+        mesh = build_mesh(devices=jax.devices()[:1], data=1, fsdp=1)
+
+        def make():
+            params = vlm.init_params(jax.random.key(0), cfg)
+            return TrainingStrategy(cfg, "pretrain", params, tok,
+                                    run_dir=str(tmp_path / "run"), mesh=mesh,
+                                    n_train_examples=len(ds))
+
+        s1 = make()
+        s1.run_training(ds)
+        want_vp = np.asarray(s1.state.params["video_projector"]["fc1"]["kernel"])
+        want_step = int(s1.state.step)
+        path = s1.save_checkpoint("latest", s1.make_loader(ds))
+
+        s2 = make()
+        loader = s2.make_loader(ds)
+        s2.load_resume(path, loader)
+        np.testing.assert_array_equal(
+            np.asarray(s2.state.params["video_projector"]["fc1"]["kernel"]),
+            want_vp)
+        assert int(s2.state.step) == want_step
+    finally:
+        STAGE_PRESETS["pretrain"] = orig
