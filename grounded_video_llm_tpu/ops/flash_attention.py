@@ -57,10 +57,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
             s = jnp.where(kpos <= qpos, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # normalize the [block_q, D] OUTPUT rather than the [block_q, Sk]
+        # probability tile — one fewer full-tile VPU pass (flash-attn's own
+        # deferred-rescale trick; diff vs pre-normalizing is bf16 rounding)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        o = o / denom
         o_ref[0, 0, pl.ds(j * block_q, block_q), :] = o.astype(o_ref.dtype)
         return 0
 
