@@ -124,6 +124,28 @@ def convert_internvideo2(sd: Dict[str, np.ndarray], cfg: InternVideo2Config,
     }
 
 
+def convert_clip_projector_head(sd: Dict[str, np.ndarray]) -> Dict:
+    """InternVideo2's CLIP-teacher attention-pooling head (reference
+    internvideo2.py:878-880: AttentionPoolingBlock with separate q/k/v bias
+    params on bias-less Linears). Keys are rooted at 'clip_projector.'."""
+    p = "clip_projector."
+
+    def ln(name):
+        return {"scale": sd[p + name + ".weight"], "bias": sd[p + name + ".bias"]}
+
+    return {
+        "norm_q": ln("norm1_q"), "norm_k": ln("norm1_k"), "norm_v": ln("norm1_v"),
+        "q": {"kernel": _t(sd[p + "cross_attn.q.weight"]),
+              "bias": sd[p + "cross_attn.q_bias"]},
+        "k": {"kernel": _t(sd[p + "cross_attn.k.weight"]),
+              "bias": sd[p + "cross_attn.k_bias"]},
+        "v": {"kernel": _t(sd[p + "cross_attn.v.weight"]),
+              "bias": sd[p + "cross_attn.v_bias"]},
+        "proj": {"kernel": _t(sd[p + "cross_attn.proj.weight"]),
+                 "bias": sd[p + "cross_attn.proj.bias"]},
+    }
+
+
 # ---------------------------------------------------------------------------
 # LLMs
 # ---------------------------------------------------------------------------

@@ -171,6 +171,52 @@ def patch_embed(params, cfg: InternVideo2Config, pixels: jnp.ndarray) -> jnp.nda
     return patches.reshape(B, T * cfg.patches_per_frame, cfg.embed_dim)
 
 
+def init_clip_projector(key: jax.Array, cfg: InternVideo2Config,
+                        out_dim: int = 768, dtype=jnp.float32):
+    """CLIP-teacher attention-pooling head (reference internvideo2.py:338-435:
+    CrossAttention + AttentionPoolingBlock, qkv_bias=True, out_dim=768). Off
+    the VLM runtime path — provided for full-architecture parity (contrastive /
+    retrieval use of the encoder)."""
+    D = cfg.embed_dim
+    keys = jax.random.split(key, 4)
+    init = jax.nn.initializers.truncated_normal(0.02)
+
+    def ln():
+        return {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)}
+
+    return {
+        "norm_q": ln(), "norm_k": ln(), "norm_v": ln(),
+        "q": {"kernel": init(keys[0], (D, D), dtype),
+              "bias": jnp.zeros((D,), dtype)},
+        "k": {"kernel": init(keys[1], (D, D), dtype),
+              "bias": jnp.zeros((D,), dtype)},
+        "v": {"kernel": init(keys[2], (D, D), dtype),
+              "bias": jnp.zeros((D,), dtype)},
+        "proj": {"kernel": init(keys[3], (D, out_dim), dtype),
+                 "bias": jnp.zeros((out_dim,), dtype)},
+    }
+
+
+def clip_projector(params, cfg: InternVideo2Config,
+                   x: jnp.ndarray) -> jnp.ndarray:
+    """Attention pooling: mean-token query cross-attends the sequence →
+    [B, out_dim] (reference AttentionPoolingBlock.forward)."""
+    from ..ops.normalization import layer_norm
+
+    B, S, D = x.shape
+    H = cfg.num_heads
+    Dh = D // H
+    xq = jnp.mean(x, axis=1, keepdims=True)
+    q_in = layer_norm(xq, params["norm_q"]["scale"], params["norm_q"]["bias"])
+    k_in = layer_norm(x, params["norm_k"]["scale"], params["norm_k"]["bias"])
+    v_in = layer_norm(x, params["norm_v"]["scale"], params["norm_v"]["bias"])
+    q = (q_in @ params["q"]["kernel"] + params["q"]["bias"]).reshape(B, 1, H, Dh)
+    k = (k_in @ params["k"]["kernel"] + params["k"]["bias"]).reshape(B, S, H, Dh)
+    v = (v_in @ params["v"]["kernel"] + params["v"]["bias"]).reshape(B, S, H, Dh)
+    pooled = mha(q, k, v, causal=False).reshape(B, D)
+    return pooled @ params["proj"]["kernel"] + params["proj"]["bias"]
+
+
 def features(params, cfg: InternVideo2Config, pixels: jnp.ndarray) -> jnp.ndarray:
     """Run the trunk with early exit; returns [B, 1+T*L, D] (CLS included —
     callers drop it, matching reference llava_next_video.py:532's [:, 1:, :])."""

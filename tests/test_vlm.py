@@ -158,3 +158,17 @@ def test_forward_loss_grad_flows(setup):
     assert enc_norm == 0.0
     proj_norm = float(jnp.sum(grads["video_projector"]["fc1"]["kernel"] ** 2))
     assert proj_norm > 0
+
+
+def test_internvideo2_clip_projector():
+    """CLIP-teacher attention-pooling head (off the VLM runtime path)."""
+    import jax
+
+    from grounded_video_llm_tpu.models import internvideo2 as iv2
+
+    cfg = micro_vlm_config().video
+    params = iv2.init_clip_projector(jax.random.key(0), cfg, out_dim=24)
+    x = jax.random.normal(jax.random.key(1), (2, 17, cfg.embed_dim))
+    out = iv2.clip_projector(params, cfg, x)
+    assert out.shape == (2, 24)
+    assert bool(jnp.all(jnp.isfinite(out)))
