@@ -203,3 +203,40 @@ def eval_multiple_choice(engine, annotations: Iterable[Dict],
 def load_annotations(path: str) -> List[Dict]:
     with open(path) as f:
         return json.load(f)
+
+
+def load_charades_sta(path: str, video_ext: str = ".mp4") -> List[Dict]:
+    """Parse the official Charades-STA annotation format:
+    'VIDEOID START END##query sentence' per line → grounding items."""
+    items = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or "##" not in line:
+                continue
+            head, query = line.split("##", 1)
+            parts = head.split()
+            if len(parts) < 3:
+                continue
+            vid, start, end = parts[0], float(parts[1]), float(parts[2])
+            items.append({"video": vid + video_ext, "query": query.strip(),
+                          "start": start, "end": end})
+    return items
+
+
+def load_activitynet_grounding(path: str, video_prefix: str = "v_",
+                               video_ext: str = ".mp4") -> List[Dict]:
+    """Parse ActivityNet-Captions-style grounding json:
+    {vid: {"duration": d, "timestamps": [[s,e],...], "sentences": [...]}}."""
+    with open(path) as f:
+        data = json.load(f)
+    items = []
+    for vid, entry in data.items():
+        stamps = entry.get("timestamps", [])
+        sents = entry.get("sentences", [])
+        for (s, e), q in zip(stamps, sents):
+            name = vid if vid.startswith(video_prefix) else video_prefix + vid
+            items.append({"video": name + video_ext, "query": q.strip(),
+                          "start": float(s), "end": float(e),
+                          "duration": float(entry.get("duration", 0.0))})
+    return items

@@ -71,3 +71,31 @@ def test_parse_mc_answer_containment():
 def test_format_mc_prompt():
     p = format_mc_prompt("What color?", ["red", "blue"])
     assert "(A) red" in p and "(B) blue" in p
+
+
+def test_load_charades_sta(tmp_path):
+    from grounded_video_llm_tpu.serve.eval import load_charades_sta
+
+    p = tmp_path / "charades_sta_test.txt"
+    p.write_text("AO8RW 0.0 6.9##a person is putting a book on a shelf.\n"
+                 "X2KQE 12.2 21.9##person opens the door\n")
+    items = load_charades_sta(str(p))
+    assert len(items) == 2
+    assert items[0] == {"video": "AO8RW.mp4",
+                        "query": "a person is putting a book on a shelf.",
+                        "start": 0.0, "end": 6.9}
+
+
+def test_load_activitynet_grounding(tmp_path):
+    import json as _json
+
+    from grounded_video_llm_tpu.serve.eval import load_activitynet_grounding
+
+    p = tmp_path / "val_2.json"
+    p.write_text(_json.dumps({
+        "abc": {"duration": 55.0, "timestamps": [[0, 10], [20, 30]],
+                "sentences": ["first event", "second event"]}}))
+    items = load_activitynet_grounding(str(p))
+    assert len(items) == 2
+    assert items[1]["video"] == "v_abc.mp4"
+    assert items[1]["start"] == 20.0
