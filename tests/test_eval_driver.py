@@ -49,3 +49,33 @@ def test_run_batch(engine, demo_video):
     assert len(res) == 2
     assert all(r.duration > 0 for r in res)
     assert all(isinstance(r.text, str) for r in res)
+
+
+def test_scheduler_dynamic_batching(engine, demo_video):
+    from grounded_video_llm_tpu.serve.scheduler import Scheduler, _bucket
+
+    assert _bucket(1, 6) == 1 and _bucket(3, 6) == 4 and _bucket(5, 6) == 6
+
+    sched = Scheduler(engine, max_batch=4, batch_window_s=0.2)
+    try:
+        futures = [sched.submit(demo_video, f"Question {i}?", mode="qa")
+                   for i in range(3)]
+        results = [f.result(timeout=600) for f in futures]
+        assert len(results) == 3
+        assert all(r.duration > 0 for r in results)
+    finally:
+        sched.shutdown()
+
+
+def test_scheduler_error_propagates(engine):
+    from grounded_video_llm_tpu.serve.scheduler import Scheduler
+
+    sched = Scheduler(engine, max_batch=2, batch_window_s=0.05)
+    try:
+        fut = sched.submit("/nonexistent/video.mp4", "Q?", mode="qa")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            fut.result(timeout=120)
+    finally:
+        sched.shutdown()
