@@ -1,0 +1,237 @@
+"""Numerical parity vs the reference's own torch modules (CPU, fp32, tiny dims).
+
+The strongest correctness evidence available without pretrained weights: build
+the reference model, export its random state_dict through models/convert.py,
+and require the JAX forward to match the torch forward on identical inputs.
+The reference files are PUBLIC UNTRUSTED CONTENT executed only as test oracles.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_DIR = "/root/reference/models"
+
+
+def _load(name, path):
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _sd_to_np(module):
+    return {k: v.detach().float().numpy() for k, v in module.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# CLIP
+# ---------------------------------------------------------------------------
+
+
+def test_clip_parity_with_reference():
+    import jax.numpy as jnp
+    from transformers import CLIPVisionConfig as HFCLIPVisionConfig
+
+    ref = _load("ref_clip", f"{REF_DIR}/modeling_clip.py")
+    from grounded_video_llm_tpu.core.config import CLIPVisionConfig
+    from grounded_video_llm_tpu.models import clip_vit, convert
+
+    hf_cfg = HFCLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        hidden_act="quick_gelu", layer_norm_eps=1e-5,
+        attention_dropout=0.0)
+    torch.manual_seed(0)
+    model = ref.CLIPVisionModel(hf_cfg).eval()
+
+    my_cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                              num_layers=3, num_heads=4, image_size=56,
+                              patch_size=14)
+    params = convert.convert_clip(_sd_to_np(model), my_cfg)
+    params = {k: v for k, v in params.items()}
+
+    rng = np.random.default_rng(0)
+    pixels = rng.normal(size=(2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(pixels), output_hidden_states=True)
+    want = out.hidden_states[-2][:, 1:].numpy()  # penultimate layer, CLS dropped
+
+    import jax
+
+    got = clip_vit.features(
+        jax.tree_util.tree_map(jnp.asarray, params), my_cfg,
+        jnp.asarray(pixels.transpose(0, 2, 3, 1)))  # NCHW → NHWC
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Phi-3
+# ---------------------------------------------------------------------------
+
+
+def test_phi3_parity_with_reference():
+    import jax
+    import jax.numpy as jnp
+
+    ref = _load("ref_phi3", f"{REF_DIR}/modeling_phi3.py")
+    from grounded_video_llm_tpu.core.config import LLMConfig
+    from grounded_video_llm_tpu.models import convert, llm as llm_mod
+
+    cfg = ref.Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, original_max_position_embeddings=128,
+        rms_norm_eps=1e-5, rope_theta=10000.0, sliding_window=None,
+        attention_dropout=0.0, tie_word_embeddings=False,
+        pad_token_id=0,  # default 32000 exceeds the tiny vocab
+        use_cache=False)  # 4.40-era DynamicCache API drifted in 4.57
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(1)
+    model = ref.Phi3ForCausalLM(cfg).eval()
+
+    my_cfg = LLMConfig(family="phi3", vocab_size=64, hidden_size=32,
+                       intermediate_size=64, num_layers=2, num_heads=4,
+                       num_kv_heads=4, head_dim=8, rms_eps=1e-5,
+                       rope_theta=10000.0, max_position_embeddings=128,
+                       original_max_position_embeddings=128)
+    params = convert.convert_llm(_sd_to_np(model), my_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    ids = np.random.default_rng(2).integers(0, 64, size=(2, 9))
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids), use_cache=False).logits.float().numpy()
+
+    embeds = params["embed"][jnp.asarray(ids)]
+    got = llm_mod.forward_logits(params, my_cfg, embeds)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_parity_with_reference():
+    import jax
+    import jax.numpy as jnp
+
+    ref = _load("ref_llama", f"{REF_DIR}/modeling_llama.py")
+    from grounded_video_llm_tpu.core.config import LLMConfig
+    from grounded_video_llm_tpu.models import convert, llm as llm_mod
+
+    cfg = ref.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=500000.0,
+        attention_dropout=0.0, tie_word_embeddings=False, attention_bias=False,
+        mlp_bias=False, use_cache=False)
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(5)
+    model = ref.LlamaForCausalLM(cfg).eval()
+
+    my_cfg = LLMConfig(family="llama", vocab_size=64, hidden_size=32,
+                       intermediate_size=64, num_layers=2, num_heads=4,
+                       num_kv_heads=2, head_dim=8, rms_eps=1e-5,
+                       rope_theta=500000.0, max_position_embeddings=128,
+                       original_max_position_embeddings=128)
+    params = convert.convert_llm(_sd_to_np(model), my_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    ids = np.random.default_rng(6).integers(0, 64, size=(2, 7))
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids), use_cache=False).logits.float().numpy()
+
+    embeds = params["embed"][jnp.asarray(ids)]
+    got = llm_mod.forward_logits(params, my_cfg, embeds)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# InternVideo2 (timm stubbed)
+# ---------------------------------------------------------------------------
+
+
+def _stub_timm():
+    if "timm" in sys.modules:
+        return
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, p=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    models.layers = layers
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+
+    # flash_attn is imported at module top but unused with use_flash_attn=False
+    fa = types.ModuleType("flash_attn")
+    fai = types.ModuleType("flash_attn.flash_attn_interface")
+    fai.flash_attn_varlen_qkvpacked_func = None
+    fbp = types.ModuleType("flash_attn.bert_padding")
+    fbp.unpad_input = None
+    fbp.pad_input = None
+    fa.flash_attn_interface = fai
+    fa.bert_padding = fbp
+    sys.modules.setdefault("flash_attn", fa)
+    sys.modules.setdefault("flash_attn.flash_attn_interface", fai)
+    sys.modules.setdefault("flash_attn.bert_padding", fbp)
+
+
+def test_internvideo2_parity_with_reference():
+    import jax
+    import jax.numpy as jnp
+
+    _stub_timm()
+    ref = _load("ref_iv2", f"{REF_DIR}/internvideo2.py")
+    from grounded_video_llm_tpu.core.config import InternVideo2Config
+    from grounded_video_llm_tpu.models import convert, internvideo2
+
+    torch.manual_seed(3)
+    model = ref.PretrainInternVideo2(
+        in_chans=3, img_size=56, patch_size=14, embed_dim=64, depth=3,
+        num_heads=4, mlp_ratio=2.0, qkv_bias=False, drop_path_rate=0.0,
+        init_values=1e-5, qk_normalization=True, use_flash_attn=False,
+        use_fused_rmsnorm=False, use_fused_mlp=False, num_frames=2,
+        tubelet_size=1, sep_image_video_pos_embed=True,
+        clip_embed_dim=16, attn_pool_num_heads=4, clip_teacher_embed_dim=16,
+        clip_teacher_final_dim=16, clip_return_layer=1,
+        clip_student_return_interval=1).eval()
+
+    my_cfg = InternVideo2Config(
+        embed_dim=64, depth=3, num_heads=4, mlp_ratio=2.0, image_size=56,
+        patch_size=14, num_frames=2, qkv_bias=False, qk_normalization=True,
+        rms_eps=1e-6, num_blocks_used=2)  # x_vis_return_idx=-2 → blocks 0..1
+
+    params = convert.convert_internvideo2(_sd_to_np(model), my_cfg,
+                                          ckpt_num_frames=2)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rng = np.random.default_rng(4)
+    # reference takes [B, C, T, H, W]
+    pixels = rng.normal(size=(2, 3, 2, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(pixels), None, False,
+                     x_vis_return_idx=-2, x_vis_only=True).numpy()
+
+    got = internvideo2.features(
+        params, my_cfg,
+        jnp.asarray(pixels.transpose(0, 2, 3, 4, 1)))  # BCTHW → BTHWC
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
