@@ -115,6 +115,27 @@ def test_phi3_parity_with_reference():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
+def test_pool_grid_matches_adaptive_avg_pool3d():
+    """The VLM's reshape-mean pooling must equal the reference's
+    AdaptiveAvgPool3d (llava_next_video.py:516 spatial 24→8, :547 temporal
+    16→4 — both exact because the grids divide evenly)."""
+    import jax.numpy as jnp
+
+    from grounded_video_llm_tpu.models.vlm import _pool_grid
+
+    rng = np.random.default_rng(7)
+    for in_side, out_side, frames in ((24, 8, 3), (16, 4, 5)):
+        x = rng.normal(size=(2, frames, in_side * in_side, 6)).astype(np.float32)
+        # torch layout [B, C, T, H, W] like the reference rearrange
+        xt = torch.from_numpy(
+            x.reshape(2, frames, in_side, in_side, 6).transpose(0, 4, 1, 2, 3))
+        want = torch.nn.AdaptiveAvgPool3d([frames, out_side, out_side])(xt)
+        want = want.permute(0, 2, 3, 4, 1).reshape(
+            2, frames, out_side * out_side, 6).numpy()
+        got = _pool_grid(jnp.asarray(x), in_side, out_side)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
 def test_llama_parity_with_reference():
     import jax
     import jax.numpy as jnp
