@@ -135,6 +135,51 @@ class LLMConfig:
         return self.vocab_size + self.num_extra_tokens
 
 
+# Phi-3.5 LongRoPE per-frequency rescale tables (48 = head_dim/2 entries each),
+# from the published microsoft/Phi-3.5-mini-instruct config.json ("longrope"
+# scaling — the same LLM trunk the reference's Phi-3.5-vision config wraps,
+# reference models/llava_next_video.py:85 + modeling_phi3.py:371-409).
+# models/convert.py overrides these with the checkpoint's own tables when real
+# weights carry a rope_scaling dict, so the defaults only need to match the
+# published release.
+PHI35_ROPE_SHORT_FACTOR: Tuple[float, ...] = (
+    1.0, 1.0199999809265137, 1.0299999713897705, 1.0299999713897705,
+    1.0499999523162842, 1.0499999523162842, 1.0499999523162842,
+    1.0499999523162842, 1.0499999523162842, 1.0699999332427979,
+    1.0999999046325684, 1.1099998950958252, 1.1599998474121094,
+    1.1599998474121094, 1.1699998378753662, 1.2899998426437378,
+    1.339999794960022, 1.679999828338623, 1.7899998426437378,
+    1.8199998140335083, 1.8499997854232788, 1.8799997568130493,
+    1.9099997282028198, 1.9399996995925903, 1.9899996519088745,
+    2.0199997425079346, 2.0199997425079346, 2.0199997425079346,
+    2.0199997425079346, 2.0199997425079346, 2.0199997425079346,
+    2.0299997329711914, 2.0299997329711914, 2.0299997329711914,
+    2.0299997329711914, 2.0299997329711914, 2.0299997329711914,
+    2.0299997329711914, 2.0299997329711914, 2.0299997329711914,
+    2.0799996852874756, 2.0899996757507324, 2.189999580383301,
+    2.2199995517730713, 2.5899994373321533, 2.729999542236328,
+    2.749999523162842, 2.8399994373321533,
+)
+PHI35_ROPE_LONG_FACTOR: Tuple[float, ...] = (
+    1.0800000429153442, 1.1100000143051147, 1.1399999856948853,
+    1.340000033378601, 1.5899999141693115, 1.600000023841858,
+    1.6200000047683716, 2.620000123977661, 3.2300000190734863,
+    3.2300000190734863, 4.789999961853027, 7.400000095367432,
+    7.700000286102295, 9.09000015258789, 12.199999809265137,
+    17.670000076293945, 24.46000099182129, 28.57000160217285,
+    30.420001983642578, 30.840002059936523, 32.590003967285156,
+    32.93000411987305, 42.320003509521484, 44.96000289916992,
+    50.340003967285156, 50.45000457763672, 57.55000305175781,
+    57.93000411987305, 58.21000289916992, 60.1400032043457,
+    62.61000442504883, 62.62000274658203, 62.71000289916992,
+    63.1400032043457, 63.1400032043457, 63.77000427246094,
+    63.93000411987305, 63.96000289916992, 63.970001220703125,
+    64.02999877929688, 64.06999969482422, 64.08000183105469,
+    64.12000274658203, 64.41000366210938, 64.4800033569336,
+    64.51000213623047, 64.52999877929688, 64.83999633789062,
+)
+
+
 def phi35_mini_config(num_extra_tokens: int = 0) -> LLMConfig:
     """Phi-3.5-mini-instruct 3.8B."""
     return LLMConfig(
@@ -149,6 +194,31 @@ def phi35_mini_config(num_extra_tokens: int = 0) -> LLMConfig:
         rms_eps=1e-5,
         rope_theta=10000.0,
         max_position_embeddings=131072,
+        original_max_position_embeddings=4096,
+        rope_scaling_short=PHI35_ROPE_SHORT_FACTOR,
+        rope_scaling_long=PHI35_ROPE_LONG_FACTOR,
+        num_extra_tokens=num_extra_tokens,
+    )
+
+
+def vicuna_7b_config(num_extra_tokens: int = 0) -> LLMConfig:
+    """Vicuna-7B-v1.5 (Llama-2-7B architecture: MHA, vocab 32000, θ=1e4,
+    intermediate 11008). The reference exposes the vicuna backend via its
+    template + the llama code path (reference train.py:23,
+    datasets/chat/base_template.py:121-128); the weights are llama-2-arch,
+    not llama-3 — vocab/θ/MLP all differ."""
+    return LLMConfig(
+        family="llama",
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=32,
+        head_dim=128,
+        rms_eps=1e-5,
+        rope_theta=10000.0,
+        max_position_embeddings=4096,
         original_max_position_embeddings=4096,
         num_extra_tokens=num_extra_tokens,
     )
@@ -236,8 +306,10 @@ def vlm_config(llm_name: str = "phi3.5", stage: str = "pretrain", **kw) -> VLMCo
     extra = NUM_SPECIAL_TOKENS if stage in ("grounded", "sft", "inference") else 0
     if llm_name == "phi3.5":
         llm = phi35_mini_config(num_extra_tokens=extra)
-    elif llm_name in ("llama3", "vicuna"):
+    elif llm_name == "llama3":
         llm = llama3_8b_config(num_extra_tokens=extra)
+    elif llm_name == "vicuna":
+        llm = vicuna_7b_config(num_extra_tokens=extra)
     else:
         raise ValueError(f"unknown llm {llm_name!r}")
     max_txt_len = 4096 if stage == "grounded" else 2048
@@ -300,6 +372,7 @@ class StageConfig:
     epochs: int = 1
     max_txt_len: int = 2048
     lora: bool = False
+    lora_dropout: float = 0.0   # peft lora_dropout (reference :215 → 0.05)
     expand_vocab: bool = False
     # learning rates by param group
     lr_video_projector: float = 1e-3
@@ -323,14 +396,14 @@ STAGE_PRESETS = {
     "grounded": StageConfig(
         name="grounded", dataset="mix_grounded", global_batch_size=128,
         per_device_batch_size=16, epochs=3, max_txt_len=4096,
-        lora=True, expand_vocab=True,
+        lora=True, lora_dropout=0.05, expand_vocab=True,
         lr_video_projector=2e-5, lr_mm_projector=2e-5, lr_llm=2e-5, lr_lora=2e-4,
         sharding="full-shard",
     ),
     "sft": StageConfig(
         name="sft", dataset="mix_sft", global_batch_size=96,
         per_device_batch_size=12, epochs=1, max_txt_len=2048,
-        lora=True, expand_vocab=True,
+        lora=True, lora_dropout=0.05, expand_vocab=True,
         lr_video_projector=2e-5, lr_mm_projector=2e-5, lr_llm=2e-5, lr_lora=2e-4,
         sharding="full-shard",
     ),

@@ -151,6 +151,42 @@ def convert_clip_projector_head(sd: Dict[str, np.ndarray]) -> Dict:
 # ---------------------------------------------------------------------------
 
 
+def llm_config_from_hf(hf: Dict, base: LLMConfig) -> LLMConfig:
+    """Override an LLMConfig's architecture fields from a checkpoint's HF
+    config.json dict — in particular the LongRoPE rope_scaling factor tables
+    (reference modeling_phi3.py:375-377 reads config.rope_scaling), so loaded
+    weights always use the tables they were trained with rather than the
+    vendored defaults in core/config.py."""
+    import dataclasses
+
+    kw = {}
+    simple = {
+        "vocab_size": "vocab_size",
+        "hidden_size": "hidden_size",
+        "intermediate_size": "intermediate_size",
+        "num_hidden_layers": "num_layers",
+        "num_attention_heads": "num_heads",
+        "num_key_value_heads": "num_kv_heads",
+        "rms_norm_eps": "rms_eps",
+        "rope_theta": "rope_theta",
+        "max_position_embeddings": "max_position_embeddings",
+        "original_max_position_embeddings": "original_max_position_embeddings",
+        "tie_word_embeddings": "tie_word_embeddings",
+    }
+    for hf_key, field in simple.items():
+        if hf_key in hf:
+            kw[field] = hf[hf_key]
+    scaling = hf.get("rope_scaling") or {}
+    if "short_factor" in scaling:
+        kw["rope_scaling_short"] = tuple(float(f) for f in scaling["short_factor"])
+    if "long_factor" in scaling:
+        kw["rope_scaling_long"] = tuple(float(f) for f in scaling["long_factor"])
+    if "num_attention_heads" in hf and "hidden_size" in hf:
+        kw["head_dim"] = hf.get("head_dim",
+                                hf["hidden_size"] // hf["num_attention_heads"])
+    return dataclasses.replace(base, **kw)
+
+
 def convert_llm(sd: Dict[str, np.ndarray], cfg: LLMConfig) -> Dict:
     """Phi-3 (fused qkv/gate_up as stored) or Llama (q/k/v + gate/up fused at
     conversion into the same layout)."""

@@ -94,45 +94,58 @@ def _matmul_maybe_int8(x, kernel):
     return x @ kernel
 
 
-def _dense(x, kernel, lp, name: str):
+_LORA_SLOT = {"qkv": 0, "o": 1, "gate_up": 2, "down": 3}
+
+
+def _dense(x, kernel, lp, name: str, drop=None):
     """Dense matmul with optional LoRA overlay (x@A@B, rank kept small — the
     delta matrix is never materialized). LoRA targets the fused projections,
     the TPU-idiomatic equivalent of the reference's per-matrix peft targets
-    (reference llava_next_video.py:212-229, r=128 α=256)."""
+    (reference llava_next_video.py:212-229, r=128 α=256, dropout=0.05).
+
+    drop: (rate, per-layer key) — training-only inverted dropout on the LoRA
+    branch input, peft semantics (dropout feeds A; the frozen base path is
+    untouched)."""
     y = _matmul_maybe_int8(x, kernel)
     lora = lp.get("lora")
     if lora is not None and name in lora:
         la = lora[name]
-        y = y + ((x @ la["a"]) @ la["b"]) * la["scale"][..., None, None]
+        xl = x
+        if drop is not None:
+            rate, key = drop
+            key = jax.random.fold_in(key, _LORA_SLOT[name])
+            keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+            xl = jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+        y = y + ((xl @ la["a"]) @ la["b"]) * la["scale"][..., None, None]
     return y
 
 
-def _qkv(x, lp, cfg: LLMConfig):
+def _qkv(x, lp, cfg: LLMConfig, drop=None):
     B, S, _ = x.shape
-    qkv = _dense(x, lp["qkv_kernel"], lp, "qkv")
+    qkv = _dense(x, lp["qkv_kernel"], lp, "qkv", drop)
     q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
     return (q.reshape(B, S, cfg.num_heads, cfg.head_dim),
             k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim),
             v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim))
 
 
-def _mlp(h, lp, cfg: LLMConfig):
-    gate_up = _dense(h, lp["gate_up_kernel"], lp, "gate_up")
+def _mlp(h, lp, cfg: LLMConfig, drop=None):
+    gate_up = _dense(h, lp["gate_up_kernel"], lp, "gate_up", drop)
     gate, up = jnp.split(gate_up, 2, axis=-1)
-    return _dense(jax.nn.silu(gate) * up, lp["down_kernel"], lp, "down")
+    return _dense(jax.nn.silu(gate) * up, lp["down_kernel"], lp, "down", drop)
 
 
-def _layer_full(x, lp, cfg: LLMConfig, cos, sin, attn_mask):
+def _layer_full(x, lp, cfg: LLMConfig, cos, sin, attn_mask, drop=None):
     """Full-sequence (train / prefill) layer. Returns (x, (k, v)) so prefill
     can collect the cache."""
     B, S, D = x.shape
     h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
-    q, k, v = _qkv(h, lp, cfg)
+    q, k, v = _qkv(h, lp, cfg, drop)
     q, k = apply_rope(q, k, cos, sin)
     attn = mha(q, k, v, causal=True, mask=attn_mask).reshape(B, S, cfg.q_dim)
-    x = x + _dense(attn, lp["o_kernel"], lp, "o")
+    x = x + _dense(attn, lp["o_kernel"], lp, "o", drop)
     h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
-    x = x + _mlp(h, lp, cfg)
+    x = x + _mlp(h, lp, cfg, drop)
     return x, (k, v)
 
 
@@ -146,13 +159,28 @@ def forward_hidden(
     collect_kv: bool = False,
     kv_pad_to: Optional[int] = None,
     quantize_kv: bool = False,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """Run all decoder layers; returns (hidden [B,S,D], stacked (k,v) or None).
 
     kv_pad_to: with collect_kv, pad each layer's k/v to this length INSIDE the
     scan so the stacked ys buffer is allocated directly at cache size — padding
     afterwards would briefly hold prompt-length stacks AND the full cache
-    (measured: the duplicate ~5.5GB pushed batch-4 serving out of HBM)."""
+    (measured: the duplicate ~5.5GB pushed batch-4 serving out of HBM).
+
+    LongRoPE factor selection is STATIC per program: plain forward (training)
+    picks short/long from S — the reference's per-forward seq_len rule
+    (modeling_phi3.py:381-386 with right-padded batches); prefill-into-cache
+    picks from the cache capacity kv_pad_to, the same hint decode_step uses,
+    so cached keys and later queries always share one factor set. The
+    reference instead switches factors mid-generation and recomputes the whole
+    cache at the 4096 boundary (modeling_phi3.py:1557-1562) — dynamic cache
+    reallocation that has no static-shape TPU expression. The one divergence:
+    a generation whose prompt fits in 4096 but whose token budget exceeds it
+    runs long factors from the start instead of switching at the boundary;
+    for this model family grounded prompts alone are >4096 (3420 video tokens
+    + text), so the budget rule and the reference rule coincide in practice."""
     B, S, D = inputs_embeds.shape
     if positions is None:
         if attn_mask is not None:
@@ -160,15 +188,23 @@ def forward_hidden(
             positions = jnp.maximum(jnp.cumsum(attn_mask, axis=-1) - 1, 0)
         else:
             positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
-    cos, sin = llm_rope_tables(cfg, positions, seq_len_hint=S)
+    rope_hint = kv_pad_to if (collect_kv and kv_pad_to is not None) else S
+    cos, sin = llm_rope_tables(cfg, positions, seq_len_hint=rope_hint)
     x = inputs_embeds
 
     layer_fn = _layer_full
     if remat:
         layer_fn = jax.checkpoint(_layer_full, static_argnums=(2,))
 
-    def body(h, lp):
-        h2, kv = layer_fn(h, lp, cfg, cos, sin, attn_mask)
+    layer_keys = None
+    if lora_dropout > 0.0 and dropout_rng is not None:
+        layer_keys = jax.random.split(dropout_rng, params["layers"]
+                                      ["input_norm_w"].shape[0])
+
+    def body(h, xs):
+        lp, key_l = xs
+        drop = None if key_l is None else (lora_dropout, key_l)
+        h2, kv = layer_fn(h, lp, cfg, cos, sin, attn_mask, drop)
         if not collect_kv:
             return h2, None
         k, v = kv
@@ -194,7 +230,7 @@ def forward_hidden(
             k, v = jnp.pad(k, pad), jnp.pad(v, pad)
         return h2, (k, v)
 
-    x, kvs = jax.lax.scan(body, x, params["layers"])
+    x, kvs = jax.lax.scan(body, x, (params["layers"], layer_keys))
     x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
     return x, kvs
 
@@ -211,9 +247,11 @@ def logits_from_hidden(params, hidden: jnp.ndarray) -> jnp.ndarray:
 
 
 def forward_logits(params, cfg, inputs_embeds, attn_mask=None, positions=None,
-                   remat: bool = False) -> jnp.ndarray:
+                   remat: bool = False, lora_dropout: float = 0.0,
+                   dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     hidden, _ = forward_hidden(params, cfg, inputs_embeds, attn_mask, positions,
-                               remat=remat)
+                               remat=remat, lora_dropout=lora_dropout,
+                               dropout_rng=dropout_rng)
     return logits_from_hidden(params, hidden)
 
 

@@ -218,8 +218,13 @@ def splice_multimodal(
 
 
 def forward_loss(params, cfg: VLMConfig, batch: Batch,
-                 remat: bool = False, freeze_encoders: bool = True) -> jnp.ndarray:
-    """Full multimodal forward → scalar CE loss (reference :598-614)."""
+                 remat: bool = False, freeze_encoders: bool = True,
+                 lora_dropout: float = 0.0,
+                 dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Full multimodal forward → scalar CE loss (reference :598-614).
+
+    lora_dropout + dropout_rng: training-only dropout on the LoRA branch
+    (reference llava_next_video.py:215, peft lora_dropout=0.05)."""
     video_features = encode_video(params, cfg, batch.spatial_pixels,
                                   batch.temporal_pixels,
                                   freeze_encoders=freeze_encoders)
@@ -227,7 +232,9 @@ def forward_loss(params, cfg: VLMConfig, batch: Batch,
         batch.input_ids, batch.labels, batch.attn_mask, video_features,
         params["llm"]["embed"], batch.is_text)
     logits = llm_mod.forward_logits(params["llm"], cfg.llm, embeds,
-                                    attn_mask=mask, remat=remat)
+                                    attn_mask=mask, remat=remat,
+                                    lora_dropout=lora_dropout,
+                                    dropout_rng=dropout_rng)
     return llm_mod.causal_lm_loss(logits, labels)
 
 

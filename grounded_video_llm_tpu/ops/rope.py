@@ -13,15 +13,22 @@ import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def rope_inv_freq(head_dim: int, theta: float,
                   factors: Optional[Tuple[float, ...]] = None) -> jnp.ndarray:
-    exponent = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    """inv_freq is a function of static config only, so it is computed on the
+    host in float64 and rounded ONCE to fp32 — at position ~7.5k (grounded
+    prefill) a couple of fp32 pow/div ulps in inv_freq amplify to ~1e-2 in
+    cos/sin; the correctly-rounded table keeps the angle error at a single
+    final rounding (strictly more accurate than the reference's fp32 chain,
+    modeling_phi3.py:387-388)."""
+    exponent = np.arange(0, head_dim, 2, dtype=np.float64) / head_dim
     inv_freq = 1.0 / (theta ** exponent)
     if factors:
-        inv_freq = inv_freq / jnp.asarray(factors, dtype=jnp.float32)
-    return inv_freq
+        inv_freq = inv_freq / np.asarray(factors, dtype=np.float64)
+    return jnp.asarray(inv_freq.astype(np.float32))
 
 
 def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float,

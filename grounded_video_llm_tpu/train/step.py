@@ -73,7 +73,8 @@ def merge_params(a, b):
 
 
 def make_train_step(cfg: VLMConfig, tx, grad_accum: int = 1,
-                    remat: bool = True, trainable_mask=None):
+                    remat: bool = True, trainable_mask=None,
+                    lora_dropout: float = 0.0, dropout_seed: int = 0):
     """Build the jitted train step.
 
     batch: vlm.Batch with leaves [B, ...] (grad_accum=1) or [A, B_micro, ...]
@@ -84,31 +85,48 @@ def make_train_step(cfg: VLMConfig, tx, grad_accum: int = 1,
     runs w.r.t. the trainable partition only — without it jax.grad
     materializes a full-size gradient tree (10.2GB for the bf16 flagship:
     measured HBM OOM on one v5e). Frozen leaves get symbolic zeros that the
-    optimizer's set_to_zero group and XLA's add-zero simplification erase."""
+    optimizer's set_to_zero group and XLA's add-zero simplification erase.
 
-    def loss_fn(trainable, frozen, mb: vlm.Batch):
+    lora_dropout: rate for the LoRA-branch dropout (reference peft
+    lora_dropout=0.05); keys derive deterministically from dropout_seed +
+    state.step (+ microbatch index under grad_accum), so resume reproduces
+    the same masks."""
+
+    def loss_fn(trainable, frozen, mb: vlm.Batch, drop_rng):
         params = merge_params(trainable, frozen)
-        return vlm.forward_loss(params, cfg, mb, remat=remat)
+        return vlm.forward_loss(params, cfg, mb, remat=remat,
+                                lora_dropout=lora_dropout,
+                                dropout_rng=drop_rng)
 
     def step_fn(state: TrainState, batch: vlm.Batch):
+        step_rng = None
+        if lora_dropout > 0.0:
+            step_rng = jax.random.fold_in(jax.random.key(dropout_seed),
+                                          state.step)
         if trainable_mask is None:
             trainable, frozen = state.params, None
 
-            def lf(t, mb):
-                return vlm.forward_loss(t, cfg, mb, remat=remat)
+            def lf(t, mb, r):
+                return vlm.forward_loss(t, cfg, mb, remat=remat,
+                                        lora_dropout=lora_dropout,
+                                        dropout_rng=r)
         else:
             trainable, frozen = partition_params(state.params, trainable_mask)
 
-            def lf(t, mb):
-                return loss_fn(t, frozen, mb)
+            def lf(t, mb, r):
+                return loss_fn(t, frozen, mb, r)
 
         # (None leaves are empty pytree nodes — plain tree_map skips them)
         if grad_accum == 1:
-            loss, g_train = jax.value_and_grad(lf)(trainable, batch)
+            loss, g_train = jax.value_and_grad(lf)(trainable, batch, step_rng)
         else:
-            def accum_body(carry, mb):
+            mb_rngs = (jax.random.split(step_rng, grad_accum)
+                       if step_rng is not None else None)
+
+            def accum_body(carry, xs):
+                mb, r = xs
                 loss_sum, grad_sum = carry
-                loss, grads = jax.value_and_grad(lf)(trainable, mb)
+                loss, grads = jax.value_and_grad(lf)(trainable, mb, r)
                 grad_sum = jax.tree_util.tree_map(
                     lambda a, g: a + g.astype(a.dtype), grad_sum, grads)
                 return (loss_sum + loss, grad_sum), None
@@ -116,7 +134,8 @@ def make_train_step(cfg: VLMConfig, tx, grad_accum: int = 1,
             zero_grads = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
             (loss_sum, grad_sum), _ = jax.lax.scan(
-                accum_body, (jnp.zeros((), jnp.float32), zero_grads), batch)
+                accum_body, (jnp.zeros((), jnp.float32), zero_grads),
+                (batch, mb_rngs))
             loss = loss_sum / grad_accum
             g_train = jax.tree_util.tree_map(
                 lambda g, p: (g / grad_accum).astype(p.dtype),

@@ -90,7 +90,9 @@ class TrainingStrategy:
 
         self.step_fn = make_train_step(cfg, self.tx,
                                        grad_accum=self.grad_accum, remat=True,
-                                       trainable_mask=_tm(self.labels))
+                                       trainable_mask=_tm(self.labels),
+                                       lora_dropout=self.stage.lora_dropout,
+                                       dropout_seed=seed)
         self.metrics = Metrics(
             run_id=f"{stage_name}-{cfg.llm_name}", run_dir=run_dir,
             hparams={"stage": stage_name, "llm": cfg.llm_name,

@@ -123,6 +123,81 @@ def test_longrope_switches_factors():
     assert not np.allclose(np.asarray(cos_s), np.asarray(cos_l))
 
 
+def test_prefill_decode_share_longrope_factors():
+    """Regression for the factor-selection split: a prompt short enough for
+    short factors but a cache budget in the long regime must use the LONG
+    table in BOTH prefill and decode (one rule per generation) — otherwise
+    cached keys and decode queries get different scalings and decode logits
+    drift from the full forward."""
+    cfg = LLMConfig(family="phi3", vocab_size=128, hidden_size=32,
+                    intermediate_size=64, num_layers=2, num_heads=4,
+                    num_kv_heads=4, head_dim=8,
+                    original_max_position_embeddings=6,
+                    max_position_embeddings=64,
+                    rope_scaling_short=tuple([1.0] * 4),
+                    rope_scaling_long=tuple([3.0] * 4))
+    params = llm_mod.init_params(jax.random.key(0), cfg)
+    B, S_prompt, S_total, max_len = 1, 4, 8, 12  # prompt 4 ≤ 6 < max_len 12
+    embeds_all = jax.random.normal(jax.random.key(1),
+                                   (B, S_total, cfg.hidden_size)) * 0.1
+    # oracle: full forward at S_total=8 > 6 → long factors everywhere
+    full_logits = llm_mod.forward_logits(params, cfg, embeds_all,
+                                         jnp.ones((B, S_total), jnp.int32))
+
+    cache = llm_mod.KVCache.create(cfg, B, max_len, dtype=jnp.float32)
+    logits, cache = llm_mod.prefill(params, cfg, embeds_all[:, :S_prompt],
+                                    jnp.ones((B, S_prompt), jnp.int32), cache)
+    valid = jnp.zeros((B, max_len), jnp.int32).at[:, :S_prompt].set(1)
+    for step in range(S_prompt, S_total):
+        pos = jnp.full((B,), step, jnp.int32)
+        logits, cache, valid = llm_mod.decode_step(
+            params, cfg, embeds_all[:, step:step + 1], cache, valid, pos)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full_logits[:, step]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_phi35_config_ships_longrope_tables():
+    from grounded_video_llm_tpu.core.config import phi35_mini_config
+
+    cfg = phi35_mini_config()
+    assert len(cfg.rope_scaling_short) == cfg.head_dim // 2 == 48
+    assert len(cfg.rope_scaling_long) == 48
+    # short factors are mild (<3), long factors reach ~65 at high frequencies
+    assert max(cfg.rope_scaling_short) < 3.0
+    assert max(cfg.rope_scaling_long) > 60.0
+    assert cfg.rope_scaling_short[0] == 1.0
+
+
+def test_lora_dropout_perturbs_training_loss_only():
+    """drop-rate>0 with an rng must change the forward (train-time), while
+    rate 0 and inference (no rng) stay bit-identical to the base LoRA path."""
+    from grounded_video_llm_tpu.train import lora as lora_mod
+
+    cfg = CFG_PHI
+    params = llm_mod.init_params(jax.random.key(0), cfg)
+    params["layers"] = dict(params["layers"])
+    lora = lora_mod.init_lora(jax.random.key(1), cfg, rank=4)
+    # nonzero B so the lora branch actually contributes
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if x.ndim == 3 else x, lora)
+    params = lora_mod.attach_lora(params, lora)
+
+    embeds = jax.random.normal(jax.random.key(2), (2, 6, cfg.hidden_size)) * 0.1
+    base = llm_mod.forward_logits(params, cfg, embeds)
+    no_drop = llm_mod.forward_logits(params, cfg, embeds, lora_dropout=0.0,
+                                     dropout_rng=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(no_drop))
+
+    dropped = llm_mod.forward_logits(params, cfg, embeds, lora_dropout=0.5,
+                                     dropout_rng=jax.random.key(3))
+    assert not np.allclose(np.asarray(base), np.asarray(dropped))
+    # deterministic per rng
+    dropped2 = llm_mod.forward_logits(params, cfg, embeds, lora_dropout=0.5,
+                                      dropout_rng=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(dropped), np.asarray(dropped2))
+
+
 def test_remat_matches():
     cfg = CFG_PHI
     params = llm_mod.init_params(jax.random.key(0), cfg)

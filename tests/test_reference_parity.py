@@ -115,6 +115,113 @@ def test_phi3_parity_with_reference():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
+def test_phi35_longrope_parity_with_reference():
+    """The vendored Phi-3.5 factor tables + fp32 LongRoPE math must reproduce
+    the reference's Phi3LongRoPEScaledRotaryEmbedding (modeling_phi3.py:371-409)
+    at real scale (head_dim=96, 131072/4096), in BOTH regimes: seq_len ≤ 4096
+    (short table) and > 4096 (long table)."""
+    import jax.numpy as jnp
+
+    ref = _load("ref_phi3", f"{REF_DIR}/modeling_phi3.py")
+    from grounded_video_llm_tpu.core.config import phi35_mini_config
+    from grounded_video_llm_tpu.ops.rope import llm_rope_tables
+
+    cfg = phi35_mini_config()
+    hf_cfg = ref.Phi3Config(
+        hidden_size=cfg.hidden_size, num_attention_heads=cfg.num_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        original_max_position_embeddings=cfg.original_max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rope_scaling={"type": "longrope",
+                      "short_factor": list(cfg.rope_scaling_short),
+                      "long_factor": list(cfg.rope_scaling_long)})
+    emb = ref.Phi3LongRoPEScaledRotaryEmbedding(cfg.head_dim, hf_cfg)
+
+    for seq_len in (4096, 7516):  # short regime; grounded prefill length
+        pos = np.arange(seq_len, dtype=np.int64)[None]
+        x = torch.zeros(1, 1, seq_len, cfg.head_dim, dtype=torch.float32)
+        with torch.no_grad():
+            want_cos, want_sin = emb(x, torch.from_numpy(pos))
+        got_cos, got_sin = llm_rope_tables(cfg, jnp.asarray(pos),
+                                           seq_len_hint=seq_len)
+        # tolerance = the reference's own fp32 pow/div ulps amplified by
+        # position×freq ≈ 5600 rad (our inv_freq is rounded from float64,
+        # strictly tighter); measured max diff 5.8e-4 at position 7514
+        np.testing.assert_allclose(np.asarray(got_cos), want_cos.numpy(),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_sin), want_sin.numpy(),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_vicuna_parity_with_reference():
+    """Vicuna-7B runs the reference's llama code path with llama-2 geometry
+    (MHA, θ=1e4; reference train.py:23 + base_template.py:121-128). Tiny-dims
+    oracle through the same convert path, MHA + θ=1e4 flavored."""
+    import jax
+    import jax.numpy as jnp
+
+    ref = _load("ref_llama", f"{REF_DIR}/modeling_llama.py")
+    from grounded_video_llm_tpu.core.config import LLMConfig
+    from grounded_video_llm_tpu.models import convert, llm as llm_mod
+
+    cfg = ref.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_dropout=0.0, tie_word_embeddings=False, attention_bias=False,
+        mlp_bias=False, use_cache=False)
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(11)
+    model = ref.LlamaForCausalLM(cfg).eval()
+
+    my_cfg = LLMConfig(family="llama", vocab_size=64, hidden_size=32,
+                       intermediate_size=48, num_layers=2, num_heads=4,
+                       num_kv_heads=4, head_dim=8, rms_eps=1e-5,
+                       rope_theta=10000.0, max_position_embeddings=128,
+                       original_max_position_embeddings=128)
+    params = convert.convert_llm(_sd_to_np(model), my_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    ids = np.random.default_rng(12).integers(0, 64, size=(2, 7))
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids), use_cache=False).logits.float().numpy()
+
+    embeds = params["embed"][jnp.asarray(ids)]
+    got = llm_mod.forward_logits(params, my_cfg, embeds)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_vicuna_config_is_llama2_arch():
+    from grounded_video_llm_tpu.core.config import vlm_config
+
+    cfg = vlm_config("vicuna", stage="sft")
+    assert cfg.llm.family == "llama"
+    assert cfg.llm.vocab_size == 32000
+    assert cfg.llm.rope_theta == 10000.0
+    assert cfg.llm.intermediate_size == 11008
+    assert cfg.llm.num_kv_heads == cfg.llm.num_heads == 32
+    # vicuna shares the llama fusion arithmetic: 64+128+1 tokens/seg
+    assert cfg.tokens_per_seg == 193
+    assert cfg.num_video_tokens == 2316
+
+
+def test_llm_config_from_hf_ingests_rope_scaling():
+    from grounded_video_llm_tpu.core.config import phi35_mini_config
+    from grounded_video_llm_tpu.models.convert import llm_config_from_hf
+
+    base = phi35_mini_config()
+    hf = {"vocab_size": 32064, "hidden_size": 3072,
+          "num_attention_heads": 32, "max_position_embeddings": 131072,
+          "original_max_position_embeddings": 4096,
+          "rope_scaling": {"type": "longrope",
+                           "short_factor": [1.5] * 48,
+                           "long_factor": [7.5] * 48}}
+    cfg = llm_config_from_hf(hf, base)
+    assert cfg.rope_scaling_short == tuple([1.5] * 48)
+    assert cfg.rope_scaling_long == tuple([7.5] * 48)
+    assert cfg.head_dim == 96
+
+
 def test_pool_grid_matches_adaptive_avg_pool3d():
     """The VLM's reshape-mean pooling must equal the reference's
     AdaptiveAvgPool3d (llava_next_video.py:516 spatial 24→8, :547 temporal
