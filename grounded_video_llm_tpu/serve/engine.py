@@ -131,26 +131,30 @@ class InferenceEngine:
         return decode_texts(self.tokenizer, tokens, lengths,
                             self.tokenizer.eos_token_id)
 
-    def run_batch(self, video_paths: List[str], prompts: List[str],
-                  mode: str = "qa",
-                  gen_cfg: Optional[GenerateConfig] = None,
-                  decode_workers: int = 4) -> List[InferenceResult]:
-        """Batched serving: videos decode/preprocess on host threads (overlaps
-        with TPU compute of the previous batch in a pipeline), then one
-        batched generate call. The throughput path for the multi-benchmark
-        eval configs (BASELINE.json config 5)."""
-        from concurrent.futures import ThreadPoolExecutor
+    def generate_prepped(self, prepped, prompts: List[str], mode: str = "qa",
+                         gen_cfg: Optional[GenerateConfig] = None,
+                         pad_to: Optional[int] = None) -> List[InferenceResult]:
+        """Generate from already-preprocessed videos.
 
-        with ThreadPoolExecutor(max_workers=decode_workers) as pool:
-            prep = list(pool.map(self.preprocess_video, video_paths))
-        temporal = np.stack([p[0] for p in prep])
-        spatial = np.stack([p[1] for p in prep])
-        durations = [p[2] for p in prep]
+        prepped: list of (temporal [F,224,224,3], spatial [segs,336,336,3],
+        duration) tuples from preprocess_video. pad_to: pad the batch up to
+        this size by REUSING the last prepped entry's pixel tensors and prompt
+        (static-shape bucket padding without re-decoding or re-encoding a
+        video from disk — the scheduler's padding path); padded rows are
+        dropped from the returned results."""
+        n = len(prepped)
+        assert n == len(prompts) and n > 0
+        if pad_to is not None and pad_to > n:
+            prepped = list(prepped) + [prepped[-1]] * (pad_to - n)
+            prompts = list(prompts) + [prompts[-1]] * (pad_to - n)
+        temporal = np.stack([p[0] for p in prepped])
+        spatial = np.stack([p[1] for p in prepped])
+        durations = [p[2] for p in prepped]
         text_prompts = [self.build_prompt(p, mode, d)
                         for p, d in zip(prompts, durations)]
         texts = self.generate(text_prompts, temporal, spatial, gen_cfg)
         out = []
-        for text, duration in zip(texts, durations):
+        for text, duration in zip(texts[:n], durations[:n]):
             parsed = codec.parse_time_interval(text, duration,
                                                self.cfg.num_temporal_tokens,
                                                self.cfg.llm_name)
@@ -158,6 +162,52 @@ class InferenceEngine:
                                                 self.cfg.num_temporal_tokens)
             out.append(InferenceResult(text, parsed, duration, intervals))
         return out
+
+    def run_batch(self, video_paths: List[str], prompts: List[str],
+                  mode: str = "qa",
+                  gen_cfg: Optional[GenerateConfig] = None,
+                  decode_workers: int = 4) -> List[InferenceResult]:
+        """Batched serving: videos decode/preprocess on host threads, then one
+        batched generate call. The throughput path for the multi-benchmark
+        eval configs (BASELINE.json config 5)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+            prep = list(pool.map(self.preprocess_video, video_paths))
+        return self.generate_prepped(prep, prompts, mode, gen_cfg)
+
+    def run_stream(self, video_paths: List[str], prompts: List[str],
+                   mode: str = "qa", batch_size: int = 6,
+                   gen_cfg: Optional[GenerateConfig] = None,
+                   decode_workers: int = 4,
+                   pad_last: bool = True) -> List[InferenceResult]:
+        """Pipelined streaming over many requests: host decode+preprocess of
+        batch i+1 runs on threads WHILE the device computes batch i, so host
+        video work hides behind TPU time (SURVEY §7's 'decode overlap'
+        requirement — 96 random-access frame decodes per video are the real
+        e2e bottleneck at batch). The last partial batch pads to batch_size
+        with reused pixels (one executable per batch size)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        assert len(video_paths) == len(prompts)
+        chunks = [(video_paths[i:i + batch_size], prompts[i:i + batch_size])
+                  for i in range(0, len(video_paths), batch_size)]
+        results: List[InferenceResult] = []
+        with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+            def submit(chunk):
+                vids, _ = chunk
+                return [pool.submit(self.preprocess_video, v) for v in vids]
+
+            pending = submit(chunks[0])
+            for ci, (vids, prmpts) in enumerate(chunks):
+                prep = [f.result() for f in pending]
+                if ci + 1 < len(chunks):
+                    pending = submit(chunks[ci + 1])  # overlaps generate below
+                pad_to = batch_size if (pad_last and len(prep) < batch_size) \
+                    else None
+                results.extend(self.generate_prepped(prep, prmpts, mode,
+                                                     gen_cfg, pad_to=pad_to))
+        return results
 
     def run(self, video_path: str, prompt: str, mode: str = "qa",
             gen_cfg: Optional[GenerateConfig] = None) -> InferenceResult:

@@ -160,20 +160,36 @@ def format_mc_prompt(question: str, options: Sequence[str]) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _take(annotations: Iterable[Dict], max_items: Optional[int]) -> List[Dict]:
+    items = list(annotations)
+    return items[:max_items] if max_items is not None else items
+
+
+def _run_items(engine, items: List[Dict], prompts: List[str], mode: str,
+               video_root: str, batch_size: int):
+    """Batched, pipelined execution over eval items via engine.run_stream —
+    host video decode of batch i+1 overlaps device compute of batch i
+    (BASELINE config 5, 'batched multi-benchmark eval')."""
+    import os
+
+    paths = [os.path.join(video_root, it["video"]) for it in items]
+    return engine.run_stream(paths, prompts, mode=mode, batch_size=batch_size)
+
+
 def eval_grounding(engine, annotations: Iterable[Dict],
                    video_root: str = "", prompt_template: str =
                    "When does \"{query}\" happen in the video?",
-                   max_items: Optional[int] = None) -> Dict[str, float]:
-    """Charades-STA / ActivityNet-Grounding style R1@IoU eval."""
-    import os
-
+                   max_items: Optional[int] = None,
+                   batch_size: int = 6) -> Dict[str, float]:
+    """Charades-STA / ActivityNet-Grounding style R1@IoU eval (batched)."""
+    items = _take(annotations, max_items)
     metrics = GroundingMetrics()
-    for i, item in enumerate(annotations):
-        if max_items is not None and i >= max_items:
-            break
-        res = engine.run(os.path.join(video_root, item["video"]),
-                         prompt_template.format(query=item["query"]),
-                         mode="grounding")
+    if not items:
+        return metrics.summary()
+    prompts = [prompt_template.format(query=it["query"]) for it in items]
+    results = _run_items(engine, items, prompts, "grounding", video_root,
+                         batch_size)
+    for item, res in zip(items, results):
         pred = parse_first_interval(res.text, res.duration)
         metrics.add(pred, (float(item["start"]), float(item["end"])))
     return metrics.summary()
@@ -181,22 +197,63 @@ def eval_grounding(engine, annotations: Iterable[Dict],
 
 def eval_multiple_choice(engine, annotations: Iterable[Dict],
                          video_root: str = "",
-                         max_items: Optional[int] = None) -> Dict[str, float]:
-    """MVBench / Video-MME style accuracy eval."""
-    import os
-
+                         max_items: Optional[int] = None,
+                         batch_size: int = 6) -> Dict[str, float]:
+    """MVBench / Video-MME style accuracy eval (batched)."""
+    items = _take(annotations, max_items)
     metrics = AccuracyMetrics()
-    for i, item in enumerate(annotations):
-        if max_items is not None and i >= max_items:
-            break
-        prompt = format_mc_prompt(item["question"], item["options"])
-        res = engine.run(os.path.join(video_root, item["video"]), prompt,
-                         mode="qa")
+    if not items:
+        return metrics.summary()
+    prompts = [format_mc_prompt(it["question"], it["options"]) for it in items]
+    results = _run_items(engine, items, prompts, "qa", video_root, batch_size)
+    for item, res in zip(items, results):
         pred = parse_mc_answer(res.text, item["options"])
         gt = item["answer"]
         if isinstance(gt, str):
             gt = string.ascii_uppercase.index(gt.strip().upper()[0])
         metrics.add(pred == gt)
+    return metrics.summary()
+
+
+def eval_gqa(engine, annotations: Iterable[Dict], video_root: str = "",
+             max_items: Optional[int] = None,
+             batch_size: int = 6) -> Dict[str, float]:
+    """NExT-GQA grounded VideoQA: answer accuracy + mIoP/mIoU + Acc@GQA
+    (correct answer AND IoP >= 0.5). Items carry {video, question, answer,
+    start, end} and optionally {options} (NExT-GQA is multiple-choice); runs
+    in grounding mode so the model emits <n> temporal tokens as evidence."""
+    items = _take(annotations, max_items)
+    metrics = GQAMetrics()
+    if not items:
+        return metrics.summary()
+
+    def prompt_of(it):
+        if it.get("options"):
+            return format_mc_prompt(it["question"], it["options"])
+        return it["question"]
+
+    prompts = [prompt_of(it) for it in items]
+    results = _run_items(engine, items, prompts, "grounding", video_root,
+                         batch_size)
+    for item, res in zip(items, results):
+        gt_ans = item["answer"]
+        if item.get("options"):
+            pred_idx = parse_mc_answer(res.text, item["options"])
+            if isinstance(gt_ans, str) and len(gt_ans.strip()) == 1:
+                gt_idx = string.ascii_uppercase.index(
+                    gt_ans.strip().upper())
+            elif isinstance(gt_ans, str):
+                opts = [o.strip().lower() for o in item["options"]]
+                gt_idx = opts.index(gt_ans.strip().lower()) \
+                    if gt_ans.strip().lower() in opts else -1
+            else:
+                gt_idx = int(gt_ans)
+            correct = pred_idx == gt_idx
+        else:
+            correct = str(gt_ans).strip().lower() in res.text.strip().lower()
+        pred_iv = parse_first_interval(res.text, res.duration)
+        metrics.add(correct, pred_iv, (float(item["start"]),
+                                       float(item["end"])))
     return metrics.summary()
 
 

@@ -8,8 +8,10 @@ per-request futures. Host preprocessing runs in the engine's thread pool and
 overlaps with the previous batch's TPU compute.
 
 Static-shape note: each distinct batch size compiles once; requests are padded
-up to the nearest bucket (powers of two up to max_batch) by repeating the last
-request, so steady-state traffic hits a handful of cached executables.
+up to the nearest bucket (powers of two up to max_batch) by REUSING the last
+request's already-preprocessed pixel tensors (no duplicate video decode), so
+steady-state traffic hits a handful of cached executables and padding costs
+only the duplicated device compute.
 """
 
 from __future__ import annotations
@@ -101,13 +103,18 @@ class Scheduler:
 
     def _run_batch(self, reqs: List[_Request], mode: str) -> None:
         try:
-            # pad to the bucket size by repeating the last request (static
-            # shapes → one executable per bucket)
+            # decode/preprocess each REAL request once, then pad to the bucket
+            # size with the last request's already-preprocessed pixels (static
+            # shapes → one executable per bucket, and padding costs no extra
+            # video decode or preprocess — only the duplicated device compute)
+            from concurrent.futures import ThreadPoolExecutor
+
             bucket = _bucket(len(reqs), self.max_batch)
-            padded = reqs + [reqs[-1]] * (bucket - len(reqs))
-            results = self.engine.run_batch(
-                [r.video_path for r in padded],
-                [r.prompt for r in padded], mode=mode)
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                prep = list(pool.map(self.engine.preprocess_video,
+                                     [r.video_path for r in reqs]))
+            results = self.engine.generate_prepped(
+                prep, [r.prompt for r in reqs], mode=mode, pad_to=bucket)
             for r, res in zip(reqs, results):
                 r.future.set_result(res)
         except Exception as e:  # noqa: BLE001 — propagate to callers

@@ -51,6 +51,45 @@ def test_run_batch(engine, demo_video):
     assert all(isinstance(r.text, str) for r in res)
 
 
+def test_run_stream_pipelined(engine, demo_video):
+    """5 requests at batch_size=2 → 3 chunks, last padded (pad rows dropped);
+    results stay in request order."""
+    n = 5
+    res = engine.run_stream([demo_video] * n,
+                            [f"Question {i}?" for i in range(n)],
+                            mode="qa", batch_size=2)
+    assert len(res) == n
+    assert all(r.duration > 0 for r in res)
+
+
+def test_generate_prepped_pads_without_redecode(engine, demo_video, monkeypatch):
+    calls = []
+    orig = InferenceEngine.preprocess_video
+
+    def counting(self, path):
+        calls.append(path)
+        return orig(self, path)
+
+    monkeypatch.setattr(InferenceEngine, "preprocess_video", counting)
+    prep = [engine.preprocess_video(demo_video)]
+    out = engine.generate_prepped(prep, ["Q?"], mode="qa", pad_to=2)
+    assert len(out) == 1            # padding rows dropped
+    assert len(calls) == 1          # no re-decode for the pad row
+
+
+def test_eval_gqa_driver(engine, demo_video):
+    from grounded_video_llm_tpu.serve.eval import eval_gqa
+
+    annos = [{"video": os.path.basename(demo_video),
+              "question": "What moves?",
+              "options": ["a car", "a cat"], "answer": "A",
+              "start": 0.5, "end": 3.0}]
+    out = eval_gqa(engine, annos, video_root=os.path.dirname(demo_video),
+                   max_items=1)
+    assert set(out) == {"GQA", "mIoP", "mIoU", "Acc"}
+    assert all(0.0 <= v <= 100.0 for v in out.values())
+
+
 def test_scheduler_dynamic_batching(engine, demo_video):
     from grounded_video_llm_tpu.serve.scheduler import Scheduler, _bucket
 
