@@ -101,6 +101,20 @@ def _pool_grid(x: jnp.ndarray, in_side: int, out_side: int) -> jnp.ndarray:
     return x.reshape(*lead, out_side * out_side, C)
 
 
+def _maybe_normalize(pixels: jnp.ndarray, mean, std, dtype) -> jnp.ndarray:
+    """uint8 pixels → fp32 /255 → normalize → cast (trace-time dispatch on
+    dtype). Lets hosts ship RAW RESIZED uint8 frames — 4x smaller transfers
+    and no per-frame fp32 normalize on the (single-core) host; the elementwise
+    normalize fuses into the encoder's first conv on device. Float inputs pass
+    through untouched (the data-pipeline path normalizes on the host,
+    ops/preprocess.py parity functions)."""
+    if pixels.dtype != jnp.uint8:
+        return pixels
+    x = pixels.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return x.astype(dtype)
+
+
 def encode_video(params, cfg: VLMConfig, spatial_pixels: jnp.ndarray,
                  temporal_pixels: jnp.ndarray,
                  freeze_encoders: bool = True) -> jnp.ndarray:
@@ -111,6 +125,14 @@ def encode_video(params, cfg: VLMConfig, spatial_pixels: jnp.ndarray,
     llava_next_video.py:155-210), so the backward pass through their ~1.3B
     params is never needed — stop_gradient lets XLA drop that entire backward
     graph instead of computing gradients the optimizer would zero."""
+    from ..ops.preprocess import (INTERNVIDEO_MEAN, INTERNVIDEO_STD,
+                                  OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
+
+    enc_dtype = params["clip"]["embeddings"]["patch_kernel"].dtype
+    spatial_pixels = _maybe_normalize(
+        spatial_pixels, OPENAI_DATASET_MEAN, OPENAI_DATASET_STD, enc_dtype)
+    temporal_pixels = _maybe_normalize(
+        temporal_pixels, INTERNVIDEO_MEAN, INTERNVIDEO_STD, enc_dtype)
     B, S_segs = spatial_pixels.shape[:2]
     F = cfg.num_frames
     fps = cfg.num_frames_per_seg
@@ -132,7 +154,20 @@ def encode_video(params, cfg: VLMConfig, spatial_pixels: jnp.ndarray,
 
     # ---- temporal stream
     tp = temporal_pixels.reshape(B * S_segs, fps, *temporal_pixels.shape[2:])
-    seg = sg(internvideo2.features(params["video_encoder"], cfg.video, tp))
+    chunk = cfg.encoder_chunk_clips
+    if chunk and B * S_segs > chunk and (B * S_segs) % chunk == 0:
+        # clip-chunked encode: segments are independent until fusion
+        # (SURVEY §5.7), so lax.map over chunks caps the encoder's activation
+        # transients (qkv/MLP buffers scale with the chunk size, not with
+        # B*num_segs) at the cost of serializing chunk launches
+        n_chunks = (B * S_segs) // chunk
+        seg = jax.lax.map(
+            lambda c: internvideo2.features(params["video_encoder"],
+                                            cfg.video, c),
+            tp.reshape(n_chunks, chunk, *tp.shape[1:]))
+        seg = sg(seg.reshape(B * S_segs, *seg.shape[2:]))
+    else:
+        seg = sg(internvideo2.features(params["video_encoder"], cfg.video, tp))
     seg = seg[:, 1:, :]                                       # drop CLS
     seg = seg.reshape(B * S_segs, fps, cfg.video.patches_per_frame, -1)
     seg = _pool_grid(seg, 16, 4)                              # [B*12,fps,16,1408]

@@ -121,6 +121,42 @@ def dual_stream_preprocess_host(
     return temporal, spatial
 
 
+def resize_frames_host_u8(frames: np.ndarray, size: int) -> np.ndarray:
+    """Resize (bicubic, shorter edge) → center crop, staying uint8 — the
+    host half of the hybrid serving path (normalize runs on-device,
+    models/vlm.py:_maybe_normalize). Matches preprocess_frames_host's
+    geometry exactly; only the float conversion moves to the TPU, where the
+    cast+normalize fuses into the encoder's first conv. ~2x less host CPU per
+    video and 4x smaller host→device transfer (uint8 vs fp32)."""
+    import cv2
+
+    T, h, w, _ = frames.shape
+    rh, rw = _resize_shape(h, w, size)
+    top, left = _crop_box(rh, rw, size)
+    out = np.empty((T, size, size, 3), dtype=np.uint8)
+    for t in range(T):
+        r = cv2.resize(frames[t], (rw, rh), interpolation=cv2.INTER_CUBIC)
+        out[t] = r[top:top + size, left:left + size]
+    return out
+
+
+def dual_stream_resize_host(
+    frames: np.ndarray,
+    num_segs: int,
+    temporal_size: int = 224,
+    spatial_size: int = 336,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Hybrid-path analogue of dual_stream_preprocess_host: uint8 outputs,
+    normalization deferred to the device (same stream split semantics)."""
+    from ..video.sampling import spatial_indices
+
+    num_frames = frames.shape[0]
+    temporal = resize_frames_host_u8(frames, temporal_size)
+    idx = spatial_indices(num_frames, num_segs)
+    spatial = resize_frames_host_u8(frames[idx], spatial_size)
+    return temporal, spatial
+
+
 def dual_stream_preprocess_xla(
     frames: jax.Array,
     num_segs: int,

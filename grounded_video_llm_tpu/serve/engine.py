@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import GenerateConfig, VLMConfig
-from ..ops.preprocess import dual_stream_preprocess_host
+from ..ops.preprocess import dual_stream_resize_host
 from ..text import codec
 from ..text.templates import (DEFAULT_IMAGE_TOKEN, GROUNDING_TOKEN,
                               get_template)
@@ -75,8 +75,13 @@ class InferenceEngine:
         return self.template.encode_for_generation(conv)
 
     def preprocess_video(self, video_path: str):
+        """Hybrid preprocessing: host decode + uint8 resize/crop only;
+        normalization runs on-device inside the generate program
+        (models/vlm.py:_maybe_normalize) — halves host CPU per video and
+        shrinks the host→device transfer 4x, so decode+preprocess of the next
+        batch hides under the current batch's TPU compute on one core."""
         vf = read_frames(video_path, self.cfg.num_frames, sample="middle")
-        temporal, spatial = dual_stream_preprocess_host(
+        temporal, spatial = dual_stream_resize_host(
             vf.frames, self.cfg.num_segs,
             self.cfg.temporal_image_size, self.cfg.spatial_image_size)
         return temporal, spatial, vf.duration
@@ -101,8 +106,11 @@ class InferenceEngine:
 
         self._rng, sub = jax.random.split(self._rng)
         # pixel dtype follows the embedding table (first-leaf dtype would pick
-        # int8 under quantized serving)
+        # int8 under quantized serving); uint8 frames stay uint8 — they
+        # normalize on-device (models/vlm.py:_maybe_normalize)
         dtype = self.params["llm"]["embed"].dtype
+        if temporal.dtype == np.uint8:
+            dtype = np.uint8
         if g.num_beams > 1:
             from .beam import beam_search_tokens
 

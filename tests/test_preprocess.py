@@ -70,3 +70,51 @@ def test_dual_stream_shapes():
     temporal, spatial = dual_stream_preprocess_host(frames, num_segs=12)
     assert temporal.shape == (96, 224, 224, 3)
     assert spatial.shape == (12, 336, 336, 3)
+
+
+def test_hybrid_uint8_resize_matches_host_float_path():
+    """resize_frames_host_u8 + device-side normalize must reproduce
+    preprocess_frames_host exactly (same cv2 resize on uint8, same fp32
+    normalize arithmetic — only the location of the /255 changes)."""
+    import jax.numpy as jnp
+
+    from grounded_video_llm_tpu.models.vlm import _maybe_normalize
+    from grounded_video_llm_tpu.ops.preprocess import (
+        preprocess_frames_host, resize_frames_host_u8)
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(4, 60, 90, 3), dtype=np.uint8)
+    want = preprocess_frames_host(frames, 48, INTERNVIDEO_MEAN,
+                                  INTERNVIDEO_STD)
+    u8 = resize_frames_host_u8(frames, 48)
+    got = _maybe_normalize(jnp.asarray(u8), INTERNVIDEO_MEAN,
+                           INTERNVIDEO_STD, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_encode_video_uint8_equals_float(micro_params_and_cfg=None):
+    """encode_video must give identical features for uint8-with-device-norm
+    vs host-normalized float pixels."""
+    import jax
+    import jax.numpy as jnp
+
+    from grounded_video_llm_tpu.core.config import micro_vlm_config
+    from grounded_video_llm_tpu.models import vlm
+    from grounded_video_llm_tpu.models.vlm import _maybe_normalize
+
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(5)
+    sp_u8 = rng.integers(0, 256, size=(1, cfg.num_segs, 336, 336, 3),
+                         dtype=np.uint8)
+    tp_u8 = rng.integers(0, 256, size=(1, cfg.num_frames, 224, 224, 3),
+                         dtype=np.uint8)
+    sp_f = _maybe_normalize(jnp.asarray(sp_u8), OPENAI_DATASET_MEAN,
+                            OPENAI_DATASET_STD, jnp.float32)
+    tp_f = _maybe_normalize(jnp.asarray(tp_u8), INTERNVIDEO_MEAN,
+                            INTERNVIDEO_STD, jnp.float32)
+    out_f = vlm.encode_video(params, cfg, sp_f, tp_f)
+    out_u8 = vlm.encode_video(params, cfg, jnp.asarray(sp_u8),
+                              jnp.asarray(tp_u8))
+    np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f),
+                               rtol=1e-5, atol=1e-5)

@@ -172,3 +172,28 @@ def test_internvideo2_clip_projector():
     out = iv2.clip_projector(params, cfg, x)
     assert out.shape == (2, 24)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_encoder_chunking_matches_whole_batch():
+    """Clip-chunked temporal encode (lax.map over chunks) must produce the
+    same features as the whole-batch encode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grounded_video_llm_tpu.core.config import micro_vlm_config, replace
+    from grounded_video_llm_tpu.models import vlm
+
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(9)
+    B = 2
+    sp = jnp.asarray(rng.normal(size=(B, cfg.num_segs, 336, 336, 3)),
+                     jnp.float32)
+    tp = jnp.asarray(rng.normal(size=(B, cfg.num_frames, 224, 224, 3)),
+                     jnp.float32)
+    whole = vlm.encode_video(params, cfg, sp, tp)
+    chunked_cfg = replace(cfg, encoder_chunk_clips=2)  # 2*2=4 clips → 2 chunks
+    chunked = vlm.encode_video(params, chunked_cfg, sp, tp)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
+                               rtol=1e-5, atol=1e-5)
