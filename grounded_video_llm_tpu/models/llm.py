@@ -44,9 +44,11 @@ class KVCache(NamedTuple):
 
 class QuantKVCache(NamedTuple):
     """Int8 KV cache (per-position-per-head scales): halves cache HBM, the
-    capacity wall limiting the serving batch on one chip. HEAD-MAJOR layout —
-    see ops/decode_attention_int8 for the tiling rationale."""
-    k: jnp.ndarray        # [L, B, Hkv, max_len, Dh] int8
+    capacity wall limiting the serving batch on one chip. HEAD-MAJOR,
+    K/V-TRANSPOSED layout (head_dim on sublanes, max_len on lanes) — phi3's
+    head_dim 96 in the lane dim would pad to 128 (1.33x HBM; measured +1.78GB
+    across k+v at batch 8). See ops/decode_attention_int8."""
+    k: jnp.ndarray        # [L, B, Hkv, Dh, max_len] int8
     k_scale: jnp.ndarray  # [L, B, Hkv, 1, max_len] f32
     v: jnp.ndarray        # int8
     v_scale: jnp.ndarray  # f32
@@ -54,7 +56,7 @@ class QuantKVCache(NamedTuple):
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[4]
 
 
 def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32):
@@ -78,6 +80,22 @@ def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32):
         "final_norm_w": jnp.ones((D,), dtype),
         "lm_head": init(keys[5], (D, V), dtype),
     }
+
+
+def embed_lookup(embed, token_ids: jnp.ndarray,
+                 dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Embedding gather supporting the int8 serving table ({"q" [V,D] int8,
+    "scale" [V] f32} per-row symmetric — lookups dequantize rows in-gather;
+    saves ~100MB HBM on the 32k-vocab flagship)."""
+    if isinstance(embed, dict):
+        rows = embed["q"][token_ids].astype(jnp.float32)
+        return (rows * embed["scale"][token_ids][..., None]).astype(dtype)
+    return embed[token_ids]
+
+
+def embed_dtype(embed):
+    """Activation dtype implied by an embedding table (dict → bf16)."""
+    return jnp.bfloat16 if isinstance(embed, dict) else embed.dtype
 
 
 def _matmul_maybe_int8(x, kernel):
@@ -211,19 +229,19 @@ def forward_hidden(
         if quantize_kv:
             from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
 
-            # head-major int8 layout: [B, Hkv, S(pad), D] + scales [B,Hkv,1,S]
+            # head-major transposed int8 layout: [B, Hkv, D, S(pad)] +
+            # scales [B, Hkv, 1, S(pad)]
             k, ks = qkv_fn(k)   # [B,S,Hkv,D] i8, [B,S,Hkv] f32
             v, vs = qkv_fn(v)
-            k = k.transpose(0, 2, 1, 3)
-            v = v.transpose(0, 2, 1, 3)
+            k = k.transpose(0, 2, 3, 1)
+            v = v.transpose(0, 2, 3, 1)
             ks = ks.transpose(0, 2, 1)[:, :, None, :]
             vs = vs.transpose(0, 2, 1)[:, :, None, :]
             if kv_pad_to is not None and kv_pad_to > S:
-                pad = ((0, 0), (0, 0), (0, kv_pad_to - S), (0, 0))
-                pad_s = ((0, 0), (0, 0), (0, 0), (0, kv_pad_to - S))
+                pad = ((0, 0), (0, 0), (0, 0), (0, kv_pad_to - S))
                 k, v = jnp.pad(k, pad), jnp.pad(v, pad)
-                ks = jnp.pad(ks, pad_s, constant_values=1.0)
-                vs = jnp.pad(vs, pad_s, constant_values=1.0)
+                ks = jnp.pad(ks, pad, constant_values=1.0)
+                vs = jnp.pad(vs, pad, constant_values=1.0)
             return h2, ((k, ks), (v, vs))
         if kv_pad_to is not None and kv_pad_to > S:
             pad = ((0, 0), (0, kv_pad_to - S), (0, 0), (0, 0))
@@ -357,10 +375,10 @@ def decode_step(
         return jax.vmap(one_b, in_axes=(1, 1, 0), out_axes=1)(
             cache_arr, new_val.astype(cache_arr.dtype), write_idx)
 
-    def write_hm(cache_arr, new_val):  # [L,B,Hkv,max,D], [L,B,Hkv,D]
-        def one_b(c, nv, idx):  # c [L,Hkv,max,D], nv [L,Hkv,D]
-            return jax.lax.dynamic_update_slice(c, nv[:, :, None],
-                                                (0, 0, idx, 0))
+    def write_hm(cache_arr, new_val):  # [L,B,Hkv,D,max], [L,B,Hkv,D]
+        def one_b(c, nv, idx):  # c [L,Hkv,D,max], nv [L,Hkv,D]
+            return jax.lax.dynamic_update_slice(c, nv[..., None],
+                                                (0, 0, 0, idx))
         return jax.vmap(one_b, in_axes=(1, 1, 0), out_axes=1)(
             cache_arr, new_val.astype(cache_arr.dtype), write_idx)
 

@@ -229,7 +229,8 @@ def splice_multimodal(
 
     gathered_ids = jnp.take_along_axis(input_ids, t, axis=1)
     safe_ids = jnp.where(gathered_ids == IMAGE_TOKEN_INDEX, 0, gathered_ids)
-    text_embeds = embed_table[safe_ids]                           # [B,S_out,H]
+    text_embeds = llm_mod.embed_lookup(
+        embed_table, safe_ids, llm_mod.embed_dtype(embed_table))  # [B,S_out,H]
 
     vj = jnp.clip(j - vstart[:, None], 0, NV - 1)
     video_gathered = jnp.take_along_axis(
@@ -274,4 +275,4 @@ def forward_loss(params, cfg: VLMConfig, batch: Batch,
 
 
 def embed_tokens(params, token_ids: jnp.ndarray) -> jnp.ndarray:
-    return params["llm"]["embed"][token_ids]
+    return llm_mod.embed_lookup(params["llm"]["embed"], token_ids)

@@ -5,10 +5,16 @@ HBM footprint — the capacity wall that limits the serving batch on one v5e —
 and the per-token cache read traffic. The kernel dequantizes tile-by-tile in
 VMEM; an XLA dequant path would materialize the full bf16 cache per step.
 
-Layout: the quantized cache is HEAD-MAJOR [B, Hkv, max_len, D] (vs the bf16
-cache's [B, max_len, Hkv, D]) so a head block can sit in the untiled leading
-block dims — Pallas TPU requires the last two block dims to be tile-aligned or
-full, and an int8 (hb, D) tail tile would violate the (32, 128) int8 minimum.
+Layout: the quantized cache is HEAD-MAJOR and K/V-TRANSPOSED
+[B, Hkv, D, max_len] (vs the bf16 cache's [B, max_len, Hkv, D]):
+  * head-major so a head block sits in the untiled leading block dims —
+    Pallas TPU requires the last two block dims tile-aligned or full, and an
+    int8 (hb, D) tail tile would violate the (32, 128) int8 minimum;
+  * D-then-max_len because the minor (lane) dim pads to 128: phi3's D=96 in
+    lanes costs a 1.33x HBM expansion (measured: +891MB PER CACHE SIDE at
+    batch 8 — the allocation that pushed batch-8 serving out of HBM), while
+    max_len in lanes pads only to the next 128 slots and D=96 in sublanes is
+    exactly the int8 32-sublane tile x3.
 
 One program = one (batch, block of `head_block` kv-heads); python-unrolled
 loop over the block's heads, each a dequantized GEMV + fp32 softmax over cache
@@ -42,9 +48,9 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, kn_ref, vn_ref,
     keep = mask_ref[0, 0, :] != 0
     for j in range(hb):                              # static unroll, hb small
         q = q_ref[0, j, :, :]                        # [G, D] bf16
-        k = kq_ref[0, j, :, :].astype(jnp.bfloat16)  # [L, D]
+        kT = kq_ref[0, j, :, :].astype(jnp.bfloat16)  # [D, L] (transposed)
         ks = ks_ref[0, j, 0, :]                      # [L]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(q, kT, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * ks[None, :] * scale                  # [G, L]
         s = jnp.where(keep[None, :], s, NEG_INF)
@@ -57,12 +63,13 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, kn_ref, vn_ref,
         p = jnp.exp(s_all - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-        L = k.shape[0]
-        v = vq_ref[0, j, :, :].astype(jnp.bfloat16)
+        L = kT.shape[1]
+        vT = vq_ref[0, j, :, :].astype(jnp.bfloat16)  # [D, L]
         vs = vs_ref[0, j, 0, :]
-        # fold the per-position v scales into p before the PV matmul
+        # fold the per-position v scales into p before the PV matmul;
+        # contraction runs over L (the lane dim of vT) — out = p @ v == vT·pᵀ
         p_cache = (p[:, :L] * vs[None, :]).astype(jnp.bfloat16)
-        out = jax.lax.dot_general(p_cache, v, (((1,), (0,)), ((), ())),
+        out = jax.lax.dot_general(p_cache, vT, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         vn = vn_ref[0, j, :, :]                      # [1, D]
         out = out + p[:, L:].astype(jnp.float32) * vn.astype(jnp.float32)
@@ -71,9 +78,9 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, kn_ref, vn_ref,
 
 def decode_attention_int8(
     q: jnp.ndarray,        # [B, 1, H, D] bf16
-    k_q: jnp.ndarray,      # [B, Hkv, max_len, D] int8 (head-major)
+    k_q: jnp.ndarray,      # [B, Hkv, D, max_len] int8 (head-major, transposed)
     k_s: jnp.ndarray,      # [B, Hkv, 1, max_len] f32
-    v_q: jnp.ndarray,      # [B, Hkv, max_len, D] int8
+    v_q: jnp.ndarray,      # [B, Hkv, D, max_len] int8
     v_s: jnp.ndarray,      # [B, Hkv, 1, max_len] f32
     valid_mask: jnp.ndarray,  # [B, max_len]
     k_new: jnp.ndarray,    # [B, 1, Hkv, D] bf16 (current token)
@@ -82,7 +89,7 @@ def decode_attention_int8(
     scale: float,
     head_block: int = 4,
 ) -> jnp.ndarray:
-    B, Hkv, L, D = k_q.shape
+    B, Hkv, D, L = k_q.shape
     H = q.shape[2]
     G = H // Hkv
     hb = head_block
@@ -100,9 +107,9 @@ def decode_attention_int8(
         grid=(B, n_hblocks),
         in_specs=[
             pl.BlockSpec((1, hb, G, D), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, hb, L, D), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, hb, D, L), lambda b, i: (b, i, 0, 0)),
             pl.BlockSpec((1, hb, 1, L), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, hb, L, D), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, hb, D, L), lambda b, i: (b, i, 0, 0)),
             pl.BlockSpec((1, hb, 1, L), lambda b, i: (b, i, 0, 0)),
             pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, hb, 1, D), lambda b, i: (b, i, 0, 0)),

@@ -80,7 +80,8 @@ def beam_search_tokens(
 
     def body(st):
         step, beam_scores, cur_tok, out, valid, done, cache, positions = st
-        token_embeds = params["llm"]["embed"][cur_tok][:, None, :]
+        token_embeds = llm_mod.embed_lookup(
+            params["llm"]["embed"], cur_tok)[:, None, :]
         logits, cache, valid = llm_mod.decode_step(
             params["llm"], cfg.llm, token_embeds.astype(cache.k.dtype), cache,
             valid, positions)

@@ -105,10 +105,12 @@ class InferenceEngine:
             seqs, self.tokenizer.pad_token_id, self.cfg.max_txt_len)
 
         self._rng, sub = jax.random.split(self._rng)
-        # pixel dtype follows the embedding table (first-leaf dtype would pick
-        # int8 under quantized serving); uint8 frames stay uint8 — they
-        # normalize on-device (models/vlm.py:_maybe_normalize)
-        dtype = self.params["llm"]["embed"].dtype
+        # pixel dtype follows the embedding activation dtype (first-leaf dtype
+        # would pick int8 under quantized serving); uint8 frames stay uint8 —
+        # they normalize on-device (models/vlm.py:_maybe_normalize)
+        from ..models.llm import embed_dtype
+
+        dtype = embed_dtype(self.params["llm"]["embed"])
         if temporal.dtype == np.uint8:
             dtype = np.uint8
         if g.num_beams > 1:

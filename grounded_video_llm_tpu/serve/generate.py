@@ -112,7 +112,8 @@ def generate_tokens(
 
     def body(st: DecodeState):
         # dtype follows the embedding table, NOT the cache (int8-cache mode)
-        token_embeds = params["llm"]["embed"][st.cur_token][:, None, :]
+        token_embeds = llm_mod.embed_lookup(
+            params["llm"]["embed"], st.cur_token)[:, None, :]
         logits, cache, valid = llm_mod.decode_step(
             params["llm"], cfg.llm, token_embeds,
             st.cache, st.valid_mask, st.positions)

@@ -2,15 +2,28 @@
 
 Replaces each decoder projection (qkv / o / gate_up / down) and the lm_head
 with {"q": int8, "scale": fp32} pairs consumed by models/llm._dense via
-ops/int8_matmul. Embeddings stay bf16 (lookups, not matmuls). Halves the
-per-token weight streaming, the single-chip decode bound. LoRA must be merged
-first (merge_lora) — adapters don't quantize."""
+ops/int8_matmul, and the embedding table with a per-row int8 pair consumed by
+models/llm.embed_lookup (lookups dequantize in-gather; ~100MB HBM on the
+32k-vocab flagship). Halves the per-token weight streaming, the single-chip
+decode bound. LoRA must be merged first (merge_lora) — adapters don't
+quantize."""
 
 from __future__ import annotations
+
+import jax.numpy as jnp
 
 from ..ops.int8_matmul import quantize_weights_int8
 
 QUANT_KERNELS = ("qkv_kernel", "o_kernel", "gate_up_kernel", "down_kernel")
+
+
+def quantize_embed_int8(embed: jnp.ndarray) -> dict:
+    """[V, D] → {"q" int8 [V, D], "scale" f32 [V]} (per-row absmax)."""
+    absmax = jnp.max(jnp.abs(embed.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(embed.astype(jnp.float32) / scale[:, None]),
+                 -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
 def quantize_llm_for_serving(llm_params: dict) -> dict:
@@ -23,6 +36,7 @@ def quantize_llm_for_serving(llm_params: dict) -> dict:
     out["layers"] = layers
     q, s = quantize_weights_int8(llm_params["lm_head"])
     out["lm_head"] = {"q": q, "scale": s}
+    out["embed"] = quantize_embed_int8(llm_params["embed"])
     return out
 
 

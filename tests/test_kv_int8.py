@@ -43,9 +43,9 @@ def test_decode_attention_int8_matches_bf16():
     ref = decode_attention(q, k, v, mask, k_new=kn, v_new=vn)
     kq, ks = quantize_kv(k)
     vq, vs = quantize_kv(v)
-    # head-major layout (ops/decode_attention_int8 docstring)
-    kq = kq.transpose(0, 2, 1, 3)
-    vq = vq.transpose(0, 2, 1, 3)
+    # head-major transposed layout (ops/decode_attention_int8 docstring)
+    kq = kq.transpose(0, 2, 3, 1)
+    vq = vq.transpose(0, 2, 3, 1)
     ks = ks.transpose(0, 2, 1)[:, :, None, :]
     vs = vs.transpose(0, 2, 1)[:, :, None, :]
     got = decode_attention_int8(q.astype(jnp.bfloat16), kq, ks, vq, vs, mask,
