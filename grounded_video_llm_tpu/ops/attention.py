@@ -32,15 +32,22 @@ def mha(
     mask: Optional[jnp.ndarray] = None,   # [B, Sk] keep-mask or [B,1,Sq,Sk] bias-mask
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
+    bounded_softmax: bool = False,
 ) -> jnp.ndarray:
-    """Multi-head attention with fp32 softmax. Returns [B, Sq, H, D]."""
+    """Multi-head attention with fp32 softmax. Returns [B, Sq, H, D].
+
+    bounded_softmax: flash-kernel fast path replacing the row-max pass with a
+    fixed exp offset — exact (softmax is offset-invariant) whenever scores
+    can't exceed flash_attention.BOUNDED_OFFSET + ~88; callers assert that
+    via score structure (e.g. QK-RMSNorm). The XLA path ignores it."""
     if use_flash is None:
         use_flash = _flash_available()
     if use_flash:
         try:
             from .flash_attention import flash_mha
 
-            return flash_mha(q, k, v, causal=causal, mask=mask, scale=scale)
+            return flash_mha(q, k, v, causal=causal, mask=mask, scale=scale,
+                             bounded_softmax=bounded_softmax)
         except Exception:
             pass  # fall through to XLA path
     return xla_mha(q, k, v, causal=causal, mask=mask, scale=scale)

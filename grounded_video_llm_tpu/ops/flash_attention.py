@@ -30,11 +30,24 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-BLOCK_Q = 512
+# Measured on the encoder shapes (S=2049, Dh=88, v5e): 256 beats 512 beats
+# 1024 (4.81 / 5.38 / 6.13 ms per 12-clip layer) — smaller fp32 score tiles
+# pipeline better against the MXU.
+BLOCK_Q = 256
+
+# bounded_softmax: exp offset replacing the per-row max. Mathematically
+# softmax is invariant to ANY per-row offset; the max subtraction exists only
+# to keep exp in fp32 range. When scores are known-bounded (the encoder's
+# QK-RMSNormed attention: normalized q,k keep |s| well inside ±40), a fixed
+# offset gives the identical result while skipping a full [block_q, Sk] VPU
+# reduce pass — measured 20% off encoder attention time (5.38→4.03 ms/layer
+# at block 512, 4.81→3.83 at 256). exp(s-40) overflows fp32 only at s>128.4,
+# unreachable under qk-norm; masked slots (s=-inf bias) still exp to 0.
+BOUNDED_OFFSET = 40.0
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
-                block_q, sk, sq_orig, n_blocks):
+                block_q, sk, sq_orig, n_blocks, bounded):
     """One program = one (batch, q-head): loads K/V once, loops q blocks
     internally. Per-program work is n_blocks large matmuls, so the fixed
     per-program dispatch cost (~µs) amortizes — a (B, H, Sq/128) grid of tiny
@@ -55,8 +68,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
                     + (sk - sq_orig))
             kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
             s = jnp.where(kpos <= qpos, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        if bounded:
+            p = jnp.exp(s - BOUNDED_OFFSET)
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
         # normalize the [block_q, D] OUTPUT rather than the [block_q, Sk]
         # probability tile — one fewer full-tile VPU pass (flash-attn's own
         # deferred-rescale trick; diff vs pre-normalizing is bf16 rounding)
@@ -71,7 +87,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
-def _flash_fwd(q, k, v, bias, scale, causal):
+def _flash_fwd(q, k, v, bias, scale, causal, bounded=False):
     """Internally works in [B, H, S, D] layout — Pallas TPU blocks must live in
     the last two dims (sublane x lane)."""
     B, Sq, H, D = q.shape
@@ -97,7 +113,7 @@ def _flash_fwd(q, k, v, bias, scale, causal):
     grid = (B, H)
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
                                block_q=block_q, sk=Sk, sq_orig=Sq,
-                               n_blocks=n_blocks)
+                               n_blocks=n_blocks, bounded=bounded)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -233,16 +249,18 @@ def _flash_bwd(q, k, v, bias, do, scale, causal):
     return dq, dk.transpose(0, 2, 1, 3), dv.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_mha_core(q, k, v, bias, causal, scale):
-    return _flash_fwd(q, k, v, bias, scale, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_mha_core(q, k, v, bias, causal, scale, bounded):
+    return _flash_fwd(q, k, v, bias, scale, causal, bounded)
 
 
-def _core_fwd(q, k, v, bias, causal, scale):
-    return _flash_fwd(q, k, v, bias, scale, causal), (q, k, v, bias)
+def _core_fwd(q, k, v, bias, causal, scale, bounded):
+    return _flash_fwd(q, k, v, bias, scale, causal, bounded), (q, k, v, bias)
 
 
-def _core_bwd(causal, scale, residuals, g):
+def _core_bwd(causal, scale, bounded, residuals, g):
+    # backward always recomputes with the true row max — softmax is
+    # offset-invariant, so the gradients match the bounded forward exactly
     q, k, v, bias = residuals
     dq, dk, dv = _flash_bwd(q, k, v, bias, g, scale, causal)
     return dq, dk, dv, jnp.zeros_like(bias)
@@ -253,9 +271,11 @@ _flash_mha_core.defvjp(_core_fwd, _core_bwd)
 
 def flash_mha(q, k, v, *, causal: bool = False,
               mask: Optional[jnp.ndarray] = None,
-              scale: Optional[float] = None):
+              scale: Optional[float] = None,
+              bounded_softmax: bool = False):
     """Drop-in for attention.xla_mha. mask: [B, Sk] keep-mask (bias-style
-    4D masks fall back to XLA)."""
+    4D masks fall back to XLA). bounded_softmax: skip the row-max pass
+    (see BOUNDED_OFFSET — only for known-bounded scores, e.g. qk-normed)."""
     if mask is not None and mask.ndim != 2:
         from .attention import xla_mha
 
@@ -268,4 +288,4 @@ def flash_mha(q, k, v, *, causal: bool = False,
         bias = jnp.zeros((B, Sk), jnp.float32)
     else:
         bias = jnp.where(mask.astype(bool), 0.0, NEG_INF).astype(jnp.float32)
-    return _flash_mha_core(q, k, v, bias, causal, scale)
+    return _flash_mha_core(q, k, v, bias, causal, scale, bounded_softmax)

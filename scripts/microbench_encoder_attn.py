@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 12   # clips (one video = 12)
 S, H, DH = 2049, 16, 88
-R = 8   # chained in-jit iterations
+R = 40  # chained in-jit iterations (dispatch ~25-30ms amortizes to <1ms)
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
@@ -97,62 +97,24 @@ def main():
     k = jnp.asarray(rng.normal(size=(B, H, S, DH)) * 0.1, jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(B, H, S, DH)) * 0.1, jnp.bfloat16)
 
-    attn_flops = R * B * H * (2 * S * S * DH * 2)   # score + pv
+    attn_flops = B * H * (2 * S * S * DH * 2)   # score + pv, PER ITER
 
     def chain(fn):
         def run(q, k, v):
             def body(i, acc):
                 return fn(acc, k, v)
-            return jax.lax.fori_loop(0, R, body, q)
+            # scalar output: a full-array fetch ships ~69MB through the axon
+            # tunnel and dwarfs compute time
+            return jnp.sum(jax.lax.fori_loop(0, R, body, q),
+                           dtype=jnp.float32)
         return run
 
     for mode in ("full", "nomax", "noexp"):
-        time_fn(f"flash_{mode}", chain(lambda a, b, c, m=mode:
-                                       flash_variant(a, b, c, m)),
-                q, k, v, flops=attn_flops)
-
-    def xla_attn(qq, kk, vv):
-        s = jnp.einsum("bhsd,bhtd->bhst", qq.astype(jnp.float32),
-                       kk.astype(jnp.float32)) * (DH ** -0.5)
-        p = jax.nn.softmax(s, axis=-1)
-        return jnp.einsum("bhst,bhtd->bhsd", p.astype(vv.dtype),
-                          vv).astype(qq.dtype)
-
-    time_fn("xla", chain(xla_attn), q, k, v, flops=attn_flops)
-
-    # MXU roofline at the same shapes: [S,Dh]@[Dh,S] then [S,S]@[S,Dh]
-    s_buf = jnp.asarray(rng.normal(size=(B, H, S, S)) * 0.1, jnp.bfloat16)
-
-    def mm_only(qq, kk, vv):
-        s = jnp.einsum("bhsd,bhtd->bhst", qq, kk,
-                       preferred_element_type=jnp.float32)
-        return jnp.einsum("bhst,bhtd->bhsd", s.astype(vv.dtype), vv,
-                          preferred_element_type=jnp.float32).astype(qq.dtype)
-
-    def chain_mm(q, k, v):
-        def body(i, acc):
-            return mm_only(acc, k, v)
-        return jax.lax.fori_loop(0, R, body, q)
-
-    time_fn("matmul", chain_mm, q, k, v, flops=attn_flops)
-
-    # VPU exp rate on score-tile-sized fp32
-    exp_elems = R * B * H * S * S
-
-    def exp_chain(x):
-        def body(i, acc):
-            return jnp.exp(acc * 0.5)
-        return jax.lax.fori_loop(0, R, body, x)
-
-    x = s_buf[:, :2].astype(jnp.float32)  # [B,2,S,S] fp32 (HBM-light)
-    f = jax.jit(exp_chain)
-    np.asarray(f(x))
-    t0 = time.time()
-    np.asarray(f(x))
-    dt = (time.time() - t0) / R
-    rate = (B * 2 * S * S) / dt / 1e9
-    print(f"exp_only       {dt*1000:8.2f} ms/iter   {rate:7.1f} G exp/s "
-          f"(→ full scores would take {exp_elems/R/(rate*1e9)*1000:.1f} ms)")
+        for bq in (256, 512, 1024):
+            time_fn(f"flash_{mode}_bq{bq}",
+                    chain(lambda a, b, c, m=mode, bb=bq:
+                          flash_variant(a, b, c, m, block_q=bb)),
+                    q, k, v, flops=attn_flops)
 
 
 if __name__ == "__main__":

@@ -84,3 +84,33 @@ def test_flash_backward_with_padding_mask():
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=1e-4)
+
+
+def test_bounded_softmax_matches_full():
+    """Fixed-offset softmax must equal max-subtracted softmax (offset
+    invariance) for scores inside the bounded range."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grounded_video_llm_tpu.ops.flash_attention import flash_mha
+
+    rng = np.random.default_rng(11)
+    B, S, H, D = 2, 64, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    mask = jnp.asarray(np.concatenate(
+        [np.ones((B, S - 8)), np.zeros((B, 8))], axis=1), jnp.int32)
+    full = flash_mha(q, k, v, mask=mask)
+    bounded = flash_mha(q, k, v, mask=mask, bounded_softmax=True)
+    np.testing.assert_allclose(np.asarray(bounded), np.asarray(full),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients flow through the bounded forward via the true-max backward
+    def loss(fn_args):
+        qq, kk, vv = fn_args
+        return jnp.sum(flash_mha(qq, kk, vv, bounded_softmax=True) ** 2)
+
+    g = jax.grad(loss)((q, k, v))
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in g)
