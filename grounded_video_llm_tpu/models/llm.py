@@ -98,14 +98,33 @@ def embed_dtype(embed):
     return jnp.bfloat16 if isinstance(embed, dict) else embed.dtype
 
 
+# Row count above which an int8-weight matmul dequantizes the weight once and
+# runs a plain bf16 MXU matmul instead of the Pallas dequant-in-VMEM GEMV
+# kernel. The kernel wins when memory-bound (decode: rows = batch ≤ 8 —
+# halved weight streaming is the whole point); at prefill rows ≈ B*S ≈ 21k
+# the matmul is compute-bound and the in-kernel dequant throttles the MXU
+# (profiled: prefill ~72 TF/s effective vs ~126 for bf16 — ~2.2s of a 7.7s
+# batch). Dequant traffic (read int8 + write bf16 per layer) is ~20ms/batch,
+# noise against the ~1s saved.
+_INT8_GEMM_MIN_ROWS = 256
+
+
 def _matmul_maybe_int8(x, kernel):
     """x [..., D] @ kernel, where kernel is a dense array or an int8
-    {"q", "scale"} pair (serve/quantize.py) run through the Pallas
-    dequant-in-VMEM matmul."""
+    {"q", "scale"} pair (serve/quantize.py): few-row GEMVs run the Pallas
+    dequant-in-VMEM kernel, large GEMMs dequantize-then-matmul (see
+    _INT8_GEMM_MIN_ROWS)."""
     if isinstance(kernel, dict):
+        lead = x.shape[:-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        if rows >= _INT8_GEMM_MIN_ROWS:
+            w = (kernel["q"].astype(jnp.float32)
+                 * kernel["scale"][..., None, :]).astype(x.dtype)
+            return x @ w
         from ..ops.int8_matmul import int8_matmul
 
-        lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
         out = int8_matmul(flat, kernel["q"], kernel["scale"])
         return out.reshape(*lead, out.shape[-1])
