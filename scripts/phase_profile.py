@@ -9,7 +9,8 @@ iterations, scalar fetch — CLAUDE.md timing protocol):
   decode_step    — one decode step (int8 weights + int8 cache)
 
 Compare against: e2e encode+prefill ≈ 5.97s, decode 27.5 ms/tok (BENCH r2).
-Usage: python scripts/phase_profile.py [batch]
+Usage: python scripts/phase_profile.py [batch] [stage,stage,...]
+  stages: internvideo2, clip, encode, prefill, decode (default: all)
 """
 
 import os
@@ -23,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+STAGES = (set(sys.argv[2].split(",")) if len(sys.argv) > 2
+          else {"internvideo2", "clip", "encode", "prefill", "decode"})
 R = 3
 
 
@@ -73,19 +76,23 @@ def main():
         out = 0.0
         for i in range(R):
             out = out + jnp.sum(internvideo2.features(
-                p, cfg.video, x * (1.0 + out * 0)).astype(jnp.float32))
+                p, cfg.video,
+                (x * (1.0 + out * 0)).astype(x.dtype)).astype(jnp.float32))
         return out
 
-    timed("internvideo2", iv2, params["video_encoder"], tp)
+    if "internvideo2" in STAGES:
+        timed("internvideo2", iv2, params["video_encoder"], tp)
 
     def clip_fn(p, x):
         out = 0.0
         for i in range(R):
             out = out + jnp.sum(clip_vit.features(
-                p, cfg.clip, x * (1.0 + out * 0)).astype(jnp.float32))
+                p, cfg.clip,
+                (x * (1.0 + out * 0)).astype(x.dtype)).astype(jnp.float32))
         return out
 
-    timed("clip", clip_fn, params["clip"], sp)
+    if "clip" in STAGES:
+        timed("clip", clip_fn, params["clip"], sp)
 
     sp_b = jnp.zeros((B, cfg.num_segs, 336, 336, 3), jnp.bfloat16)
     tp_b = jnp.zeros((B, cfg.num_frames, 224, 224, 3), jnp.bfloat16)
@@ -94,31 +101,52 @@ def main():
         spx, tpx = xs
         out = 0.0
         for i in range(R):
+            # perturb BOTH streams: an unperturbed tpx lets XLA CSE the
+            # InternVideo2 trunk across iterations (measured: 1/3 the cost)
+            d = (1.0 + out * 0)
             out = out + jnp.sum(vlm.encode_video(
-                p, cfg, spx * (1.0 + out * 0), tpx).astype(jnp.float32))
+                p, cfg, (spx * d).astype(spx.dtype),
+                (tpx * d).astype(tpx.dtype)).astype(jnp.float32))
         return out
 
-    timed("encode_video", enc, params, (sp_b, tp_b))
+    if "encode" in STAGES:
+        timed("encode_video", enc, params, (sp_b, tp_b))
 
     # prefill at spliced length
     S_full = 64 - 1 + cfg.num_video_tokens
     max_len = S_full + 64
     embeds = jnp.zeros((B, S_full, cfg.llm.hidden_size), jnp.bfloat16)
     mask = jnp.ones((B, S_full), jnp.int32)
-    cache0 = llm.KVCache.create(cfg.llm, B, max_len)
+    # quantized prefill reads only cache.k.shape[2] (max_len); a real bf16
+    # cache here wastes 5GB of HBM (OOMs batch 6 alongside the int8 cache)
+    cache0 = llm.KVCache(jnp.zeros((1, 1, max_len, 1, 1), jnp.bfloat16),
+                         jnp.zeros((1, 1, max_len, 1, 1), jnp.bfloat16),
+                         jnp.zeros((1,), jnp.int32))
 
     def pre(p, e):
-        out = 0.0
-        for i in range(R):
-            logits, _ = llm.prefill(p, cfg.llm, e * (1.0 + out * 0), mask,
-                                    cache0, quantize_cache=True)
-            out = out + jnp.sum(logits.astype(jnp.float32))
-        return out
+        # R=1: chaining R prefills keeps R full int8 caches live (HBM OOM at
+        # batch 6); the ~2.2s signal dwarfs the 25-30ms dispatch anyway.
+        # cast the perturbation back: bf16 * f32-scalar promotes the whole
+        # embed buffer to f32, doubling the flash kernel's VMEM (OOMs)
+        logits, _ = llm.prefill(p, cfg.llm, e, mask, cache0,
+                                quantize_cache=True)
+        return jnp.sum(logits.astype(jnp.float32))
 
-    timed("prefill", pre, params["llm"], embeds)
+    if "prefill" in STAGES:
+        f = jax.jit(pre)
+        t0 = time.time()
+        np.asarray(f(params["llm"], embeds))
+        print(f"{'prefill':14s} compile {time.time()-t0:6.1f}s", end="  ",
+              flush=True)
+        t0 = time.time()
+        for _ in range(R):
+            np.asarray(f(params["llm"], embeds))
+        print(f"{(time.time()-t0)/R*1000:9.1f} ms/iter (R=1 per call)")
 
     # decode: reuse generate's while_loop cost from bench (27.5 ms/tok);
     # here time one raw decode_step chained 32x
+    if "decode" not in STAGES:
+        return
     logits, cache = jax.jit(
         lambda p, e: llm.prefill(p, cfg.llm, e, mask, cache0,
                                  quantize_cache=True))(params["llm"], embeds)
