@@ -85,12 +85,35 @@ def ensure_bench_videos(n: int) -> list:
     return paths
 
 
+def ensure_native_decoder():
+    """Build cpp/ if the libav decoder isn't present — the cv2 sequential
+    fallback decodes at ~1.6 s/video vs ~0.2 s native, which flips the e2e
+    figure from device-bound to host-bound on this 1-core box (measured:
+    0.47 vs 0.93 videos/s)."""
+    import subprocess
+
+    from grounded_video_llm_tpu.video.native import decoder
+    if decoder.available():
+        return
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        subprocess.run(["make", "-C", os.path.join(root, "cpp")], check=True,
+                       capture_output=True, timeout=120)
+        decoder.reload()
+    except Exception as e:  # noqa: BLE001
+        print(f"native decoder build failed ({e}); falling back to cv2 "
+              "sequential decode — e2e will be host-bound", file=sys.stderr)
+    print(f"native decoder: {decoder.available()}", file=sys.stderr)
+
+
 def main():
     from grounded_video_llm_tpu.core.config import vlm_config
     from grounded_video_llm_tpu.models import vlm
     from grounded_video_llm_tpu.ops.preprocess import dual_stream_resize_host
     from grounded_video_llm_tpu.serve.generate import generate_tokens
     from grounded_video_llm_tpu.video.reader import read_frames
+
+    ensure_native_decoder()
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     cfg = vlm_config("phi3.5", stage="inference",

@@ -117,6 +117,11 @@ class LLMConfig:
     # per-dim factors, empty → plain RoPE.
     rope_scaling_short: Tuple[float, ...] = ()
     rope_scaling_long: Tuple[float, ...] = ()
+    # Sliding-window attention (reference modeling_phi3.py:688-718): each query
+    # attends the most recent `sliding_window` keys (qpos - kpos < window).
+    # None → full causal. Phi-3.5-mini ships 262144, which never binds at this
+    # framework's sequence lengths (≤ ~7.5k) — parity surface, not a hot path.
+    sliding_window: Optional[int] = None
     tie_word_embeddings: bool = False
     # Number of extra rows appended for temporal tokens + grounding token
     # (reference llava_next_video.py:231-268): <0>..<300> plus <timestamp_grounding>.
@@ -197,6 +202,7 @@ def phi35_mini_config(num_extra_tokens: int = 0) -> LLMConfig:
         original_max_position_embeddings=4096,
         rope_scaling_short=PHI35_ROPE_SHORT_FACTOR,
         rope_scaling_long=PHI35_ROPE_LONG_FACTOR,
+        sliding_window=262144,
         num_extra_tokens=num_extra_tokens,
     )
 

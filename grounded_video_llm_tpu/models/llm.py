@@ -179,7 +179,8 @@ def _layer_full(x, lp, cfg: LLMConfig, cos, sin, attn_mask, drop=None):
     h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
     q, k, v = _qkv(h, lp, cfg, drop)
     q, k = apply_rope(q, k, cos, sin)
-    attn = mha(q, k, v, causal=True, mask=attn_mask).reshape(B, S, cfg.q_dim)
+    attn = mha(q, k, v, causal=True, mask=attn_mask,
+               sliding_window=cfg.sliding_window).reshape(B, S, cfg.q_dim)
     x = x + _dense(attn, lp["o_kernel"], lp, "o", drop)
     h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
     x = x + _mlp(h, lp, cfg, drop)
@@ -354,59 +355,120 @@ def decode_step(
     cos, sin = llm_rope_tables(cfg, positions[:, None], seq_len_hint=max_len)
 
     write_idx = cache.length  # [B]
+    if cfg.sliding_window is not None:
+        # sliding window (reference modeling_phi3.py:688-718): attend only the
+        # most recent `window` slots. Slot index and token position differ by
+        # the per-row left-pad count, which cancels in the comparison.
+        window_keep = (jnp.arange(max_len)[None, :]
+                       > write_idx[:, None] - cfg.sliding_window)
+        attn_valid = valid_mask.astype(bool) & window_keep
+    else:
+        attn_valid = valid_mask
 
-    def body(x, layer_inputs):
-        # caches are READ-ONLY inside the scan; the current token's k/v ride
-        # as an extra attention slot and are emitted as tiny scan outputs.
-        # Writing the caches here would stack two full-cache copies per layer
-        # as scan ys (~8 ms/token of HBM copy traffic at a 3.6k cache).
-        if quant:
-            lp, k_cache, k_sc, v_cache, v_sc = layer_inputs
-        else:
-            lp, k_cache, v_cache = layer_inputs  # [B, max_len, Hkv, Dh]
-        h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
-        q, k, v = _qkv(h, lp, cfg)
-        q, k = apply_rope(q, k, cos, sin)
-        if quant:
-            from ..ops.decode_attention_int8 import decode_attention_int8
+    # Caches are READ-ONLY inside the scan; the current token's k/v ride as an
+    # extra attention slot and are emitted as tiny scan outputs. Writing the
+    # caches inside the scan would stack two full-cache copies per layer as
+    # scan ys (~8 ms/token of HBM copy traffic at a 3.6k cache).
+    #
+    # Quantized path: the big buffers (stacked int8 weights, stacked int8
+    # cache) are NOT scanned-over xs — scan xs slicing materializes a copy of
+    # every layer's slice per token because the consuming pallas_call is
+    # opaque to XLA's slice fusion (measured: the copies tripled cache+weight
+    # traffic and dominated the 31 ms/token batch-6 step). Instead the layer
+    # index rides the scan and the Pallas kernels select their layer via
+    # scalar prefetch, DMA'ing straight from the stacked buffers.
+    lay = params["layers"]
+    quant_indexed = quant and isinstance(lay["qkv_kernel"], dict)
 
-            attn = decode_attention_int8(
-                q, k_cache, k_sc, v_cache, v_sc,
-                valid_mask.astype(jnp.int32), k, v,
-                scale=cfg.head_dim ** -0.5)
-        else:
-            attn = decode_attention(q, k_cache, v_cache, valid_mask,
-                                    k_new=k, v_new=v)
-        x = x + _dense(attn.reshape(B, 1, cfg.q_dim), lp["o_kernel"], lp, "o")
-        h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
-        x = x + _mlp(h, lp, cfg)
-        return x, (k[:, 0], v[:, 0])
+    if quant_indexed:
+        from ..ops.decode_attention_int8 import decode_attention_int8_layer
+        from ..ops.int8_matmul import int8_matmul_layer
 
-    xs = ((params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale)
-          if quant else (params["layers"], cache.k, cache.v))
-    x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+        attn_valid_i32 = attn_valid.astype(jnp.int32)
 
-    # single deferred write per cache: [L, B, Hkv, Dh] rows at write_idx —
-    # while_loop carries alias in place, so this is slice-sized traffic
-    def write(cache_arr, new_val):
-        def one_b(c, nv, idx):  # c [L,max_len,Hkv,Dh], nv [L,Hkv,Dh]
-            return jax.lax.dynamic_update_slice(c, nv[:, None], (0, idx, 0, 0))
-        return jax.vmap(one_b, in_axes=(1, 1, 0), out_axes=1)(
-            cache_arr, new_val.astype(cache_arr.dtype), write_idx)
+        def mm(x2d, kern, li):
+            return int8_matmul_layer(x2d, kern["q"], kern["scale"], li)
+
+        def body(x, xs_i):
+            norm_in, norm_post, li = xs_i
+            h = rms_norm(x, norm_in, cfg.rms_eps)
+            qkv = mm(h[:, 0, :], lay["qkv_kernel"], li)[:, None, :]
+            q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim],
+                                axis=-1)
+            q = q.reshape(B, 1, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(B, 1, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(B, 1, cfg.num_kv_heads, cfg.head_dim)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = decode_attention_int8_layer(
+                q, cache.k, cache.k_scale, cache.v, cache.v_scale,
+                attn_valid_i32, k, v, li, scale=cfg.head_dim ** -0.5)
+            x = x + mm(attn.reshape(B, cfg.q_dim), lay["o_kernel"],
+                       li)[:, None, :]
+            h = rms_norm(x, norm_post, cfg.rms_eps)
+            gate_up = mm(h[:, 0, :], lay["gate_up_kernel"], li)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            x = x + mm(jax.nn.silu(gate) * up, lay["down_kernel"],
+                       li)[:, None, :]
+            return x, (k[:, 0], v[:, 0])
+
+        n_layers = lay["input_norm_w"].shape[0]
+        xs = (lay["input_norm_w"], lay["post_norm_w"],
+              jnp.arange(n_layers, dtype=jnp.int32))
+        x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+    else:
+        def body(x, layer_inputs):
+            if quant:
+                lp, k_cache, k_sc, v_cache, v_sc = layer_inputs
+            else:
+                lp, k_cache, v_cache = layer_inputs  # [B, max_len, Hkv, Dh]
+            h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
+            q, k, v = _qkv(h, lp, cfg)
+            q, k = apply_rope(q, k, cos, sin)
+            if quant:
+                from ..ops.decode_attention_int8 import decode_attention_int8
+
+                attn = decode_attention_int8(
+                    q, k_cache, k_sc, v_cache, v_sc,
+                    attn_valid.astype(jnp.int32), k, v,
+                    scale=cfg.head_dim ** -0.5)
+            else:
+                attn = decode_attention(q, k_cache, v_cache, attn_valid,
+                                        k_new=k, v_new=v)
+            x = x + _dense(attn.reshape(B, 1, cfg.q_dim), lp["o_kernel"],
+                           lp, "o")
+            h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
+            x = x + _mlp(h, lp, cfg)
+            return x, (k[:, 0], v[:, 0])
+
+        xs = ((params["layers"], cache.k, cache.k_scale, cache.v,
+               cache.v_scale)
+              if quant else (params["layers"], cache.k, cache.v))
+        x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+
+    # Single deferred write per cache at ONE shared slot index. Serving keeps
+    # slot indices uniform across the batch (left-padded prompts → every row's
+    # cache.length is identical), so the write is a single dynamic_update_slice
+    # that XLA performs in place on the loop-carried buffer. The previous
+    # per-row vmap(dynamic_update_slice) lowered to a full-cache select — a
+    # ~5.3GB read+write per token, measured +9.0 ms/token at batch 6
+    # (scripts/ablate_decode.py). Rows that diverge (per-row lengths) would
+    # need the scatter form back — continuous batching should use per-slot
+    # caches instead.
+    uni_idx = write_idx[0]
+
+    def write(cache_arr, new_val):  # [L,B,max_len,Hkv,Dh], [L,B,Hkv,Dh]
+        return jax.lax.dynamic_update_slice(
+            cache_arr, new_val[:, :, None].astype(cache_arr.dtype),
+            (0, 0, uni_idx, 0, 0))
 
     def write_hm(cache_arr, new_val):  # [L,B,Hkv,D,max], [L,B,Hkv,D]
-        def one_b(c, nv, idx):  # c [L,Hkv,D,max], nv [L,Hkv,D]
-            return jax.lax.dynamic_update_slice(c, nv[..., None],
-                                                (0, 0, 0, idx))
-        return jax.vmap(one_b, in_axes=(1, 1, 0), out_axes=1)(
-            cache_arr, new_val.astype(cache_arr.dtype), write_idx)
+        return jax.lax.dynamic_update_slice(
+            cache_arr, new_val[..., None].astype(cache_arr.dtype),
+            (0, 0, 0, 0, uni_idx))
 
     def write_scale(scale_arr, new_scale):  # [L,B,Hkv,1,max], [L,B,Hkv]
-        def one_b(c, nv, idx):  # c [L,Hkv,1,max], nv [L,Hkv]
-            return jax.lax.dynamic_update_slice(c, nv[:, :, None, None],
-                                                (0, 0, 0, idx))
-        return jax.vmap(one_b, in_axes=(1, 1, 0), out_axes=1)(
-            scale_arr, new_scale, write_idx)
+        return jax.lax.dynamic_update_slice(
+            scale_arr, new_scale[:, :, :, None, None], (0, 0, 0, 0, uni_idx))
 
     if quant:
         from ..ops.decode_attention_int8 import quantize_kv as qkv_fn

@@ -33,13 +33,18 @@ def mha(
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
     bounded_softmax: bool = False,
+    sliding_window: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-head attention with fp32 softmax. Returns [B, Sq, H, D].
 
     bounded_softmax: flash-kernel fast path replacing the row-max pass with a
     fixed exp offset — exact (softmax is offset-invariant) whenever scores
     can't exceed flash_attention.BOUNDED_OFFSET + ~88; callers assert that
-    via score structure (e.g. QK-RMSNorm). The XLA path ignores it."""
+    via score structure (e.g. QK-RMSNorm). The XLA path ignores it.
+
+    sliding_window: keep only keys with qpos - kpos < window (reference
+    modeling_phi3.py:688-718 / HF _make_sliding_window_causal_mask). Requires
+    causal=True; None → full causal."""
     if use_flash is None:
         use_flash = _flash_available()
     if use_flash:
@@ -47,13 +52,16 @@ def mha(
             from .flash_attention import flash_mha
 
             return flash_mha(q, k, v, causal=causal, mask=mask, scale=scale,
-                             bounded_softmax=bounded_softmax)
+                             bounded_softmax=bounded_softmax,
+                             sliding_window=sliding_window)
         except Exception:
             pass  # fall through to XLA path
-    return xla_mha(q, k, v, causal=causal, mask=mask, scale=scale)
+    return xla_mha(q, k, v, causal=causal, mask=mask, scale=scale,
+                   sliding_window=sliding_window)
 
 
-def xla_mha(q, k, v, *, causal=False, mask=None, scale=None):
+def xla_mha(q, k, v, *, causal=False, mask=None, scale=None,
+            sliding_window=None):
     B, Sq, H, D = q.shape
     _, Sk, Hkv, _ = k.shape
     if scale is None:
@@ -68,7 +76,10 @@ def xla_mha(q, k, v, *, causal=False, mask=None, scale=None):
         # positions: offset so the last query attends to the full key range
         qpos = jnp.arange(Sq)[:, None] + (Sk - Sq)
         kpos = jnp.arange(Sk)[None, :]
-        scores = jnp.where((kpos <= qpos)[None, None, None], scores, neg)
+        keep = kpos <= qpos
+        if sliding_window is not None:
+            keep = keep & (qpos - kpos < sliding_window)
+        scores = jnp.where(keep[None, None, None], scores, neg)
     if mask is not None:
         if mask.ndim == 2:  # [B, Sk] keep-mask
             scores = jnp.where(mask[:, None, None, None, :].astype(bool), scores, neg)

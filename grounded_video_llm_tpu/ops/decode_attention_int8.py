@@ -16,10 +16,15 @@ Layout: the quantized cache is HEAD-MAJOR and K/V-TRANSPOSED
     max_len in lanes pads only to the next 128 slots and D=96 in sublanes is
     exactly the int8 32-sublane tile x3.
 
-One program = one (batch, block of `head_block` kv-heads); python-unrolled
-loop over the block's heads, each a dequantized GEMV + fp32 softmax over cache
-slots plus the current token's extra slot (write deferral rationale in
-ops/attention.decode_attention).
+One program = one (batch, block of `head_block` kv-heads). The kernel is
+VECTORIZED ACROSS THE HEAD BLOCK: dequant, score mult-reduce, softmax and PV
+all operate on [hb(..G), D|L]-shaped tiles. The first version python-unrolled
+per head, putting every VPU op on [1, L] rows — 1/8 sublane utilization —
+and every matmul on 1-row MXU passes; measured 22.8 ms/token of the 31.5
+ms/token batch-6 decode step (scripts/ablate_decode.py). Scores and PV are
+broadcast-multiply + axis-reductions (pure VPU): at MHA group size 1 the MXU
+runs 1-row systolic passes that cost more than they save, while the VPU forms
+stream the int8 tiles at full width.
 """
 
 from __future__ import annotations
@@ -33,6 +38,10 @@ from jax.experimental import pallas as pl
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
+# L-block for dequant temporaries ([hb, D|G, block_l] fp32 tiles ~1.6MB at
+# hb=8): whole-L conversion would hold 2x [hb, D, L] fp32 (≈22MB) in VMEM.
+BLOCK_L = 512
+
 
 def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x [..., D] bf16 → (int8 [..., D], f32 scales [...]) absmax per row."""
@@ -44,36 +53,67 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, kn_ref, vn_ref,
-            o_ref, *, scale, hb):
-    keep = mask_ref[0, 0, :] != 0
-    for j in range(hb):                              # static unroll, hb small
-        q = q_ref[0, j, :, :]                        # [G, D] bf16
-        kT = kq_ref[0, j, :, :].astype(jnp.bfloat16)  # [D, L] (transposed)
-        ks = ks_ref[0, j, 0, :]                      # [L]
-        s = jax.lax.dot_general(q, kT, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * ks[None, :] * scale                  # [G, L]
-        s = jnp.where(keep[None, :], s, NEG_INF)
+            o_ref, *, scale, hb, block_l):
+    """All intermediates are ≤3D with the compute in the last two dims
+    (sublane×lane) — 4D broadcast-multiplies hit Mosaic's 2D-gather limit,
+    and 2D shapes keep full VPU width. The GQA group is a python unroll
+    (G=1 for phi3, 4 for llama).
 
-        kn = kn_ref[0, j, :, :]                      # [1, D]
-        s_new = jax.lax.dot_general(q, kn, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
-        s_all = jnp.concatenate([s, s_new], axis=-1)
-        m = jnp.max(s_all, axis=-1, keepdims=True)
-        p = jnp.exp(s_all - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+    Cache refs (kq/ks/vq/vs) may carry one or two leading singleton block
+    dims: (1, hb, ..) from the per-layer entry point, (1, 1, hb, ..) from the
+    stacked-cache layer-indexed entry point."""
+    G = q_ref.shape[2]
+    D = q_ref.shape[3]
+    L = kq_ref.shape[-1]
+    cp = (0,) * (kq_ref.ndim - 3)                        # cache lead index
+    keep = (mask_ref[0, 0, :] != 0)[None, :]             # [1, L]
+    qf = q_ref[0].astype(jnp.float32)                    # [hb, G, D]
+    ks = ks_ref[cp + (slice(None), 0, slice(None))]      # [hb, L]
+    vs = vs_ref[cp + (slice(None), 0, slice(None))]
+    knf = kn_ref[0, :, 0, :].astype(jnp.float32)         # [hb, D]
+    vnf = vn_ref[0, :, 0, :].astype(jnp.float32)
 
-        L = kT.shape[1]
-        vT = vq_ref[0, j, :, :].astype(jnp.bfloat16)  # [D, L]
-        vs = vs_ref[0, j, 0, :]
-        # fold the per-position v scales into p before the PV matmul;
-        # contraction runs over L (the lane dim of vT) — out = p @ v == vT·pᵀ
-        p_cache = (p[:, :L] * vs[None, :]).astype(jnp.bfloat16)
-        out = jax.lax.dot_general(p_cache, vT, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        vn = vn_ref[0, j, :, :]                      # [1, D]
-        out = out + p[:, L:].astype(jnp.float32) * vn.astype(jnp.float32)
-        o_ref[0, j, :, :] = out.astype(o_ref.dtype)
+    # g-outer nesting re-dequantizes per group member — free at G=1 (phi3,
+    # the serving flagship); llama (G=4) would want block-outer hoisting
+    for g in range(G):
+        q_g = qf[:, g, :]                                # [hb, D]
+        # ---- scores: blockwise dequant + sublane(D)-reduce (pure VPU) ----
+        parts = []
+        start = 0
+        while start < L:
+            bl = min(block_l, L - start)
+            kq_i = kq_ref[cp + (slice(None), slice(None),
+                           slice(start, start + bl))].astype(jnp.float32)
+            # [hb, D, 1] * [hb, D, bl] → reduce D (sublanes) → [hb, bl]
+            parts.append(jnp.sum(q_g[:, :, None] * kq_i, axis=1))
+            start += bl
+        s = jnp.concatenate(parts, axis=-1)              # [hb, L]
+        s = s * ks * scale
+        s = jnp.where(keep, s, NEG_INF)
+
+        s_new = jnp.sum(q_g * knf, axis=-1)[:, None] * scale  # [hb, 1]
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+        p = jnp.exp(s - m)                               # [hb, L]
+        p_new = jnp.exp(s_new - m)                       # [hb, 1]
+        denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
+
+        # ---- PV: fold per-position v scales into p, lane(L)-reduce ----
+        pv = p * vs                                      # [hb, L]
+        out = jnp.zeros((hb, D), jnp.float32)
+        start = 0
+        while start < L:
+            bl = min(block_l, L - start)
+            vq_i = vq_ref[cp + (slice(None), slice(None),
+                           slice(start, start + bl))].astype(jnp.float32)
+            # [hb, 1, bl] * [hb, D, bl] → reduce bl (lanes) → [hb, D].
+            # slice and expand as separate ops — the fused slice+newaxis
+            # indexing lowers to an unsupported gather in Mosaic
+            pv_i = jax.lax.slice(pv, (0, start), (hb, start + bl))
+            out = out + jnp.sum(jnp.expand_dims(pv_i, 1) * vq_i, axis=2)
+            start += bl
+        out = out + p_new * vnf
+        out = out / denom
+        o_ref[0, :, g, :] = out.astype(o_ref.dtype)
 
 
 def decode_attention_int8(
@@ -87,7 +127,7 @@ def decode_attention_int8(
     v_new: jnp.ndarray,    # [B, 1, Hkv, D] bf16
     *,
     scale: float,
-    head_block: int = 4,
+    head_block: int = 8,
 ) -> jnp.ndarray:
     B, Hkv, D, L = k_q.shape
     H = q.shape[2]
@@ -103,7 +143,7 @@ def decode_attention_int8(
     maskt = valid_mask[:, None, :].astype(jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, hb=hb),
+        functools.partial(_kernel, scale=scale, hb=hb, block_l=BLOCK_L),
         grid=(B, n_hblocks),
         in_specs=[
             pl.BlockSpec((1, hb, G, D), lambda b, i: (b, i, 0, 0)),
@@ -120,4 +160,71 @@ def decode_attention_int8(
         interpret=jax.default_backend() != "tpu",
     )(qt, k_q, k_s, v_q, v_s, maskt, knt, vnt)
     # head order is (hkv, g) — exactly how _qkv lays H out; no transpose
+    return out.reshape(B, 1, H, D)
+
+
+def decode_attention_int8_layer(
+    q: jnp.ndarray,        # [B, 1, H, D] bf16
+    k_q: jnp.ndarray,      # [Lyr, B, Hkv, D, max_len] int8 (FULL stacked cache)
+    k_s: jnp.ndarray,      # [Lyr, B, Hkv, 1, max_len] f32
+    v_q: jnp.ndarray,      # [Lyr, B, Hkv, D, max_len] int8
+    v_s: jnp.ndarray,      # [Lyr, B, Hkv, 1, max_len] f32
+    valid_mask: jnp.ndarray,  # [B, max_len]
+    k_new: jnp.ndarray,    # [B, 1, Hkv, D] bf16 (current token)
+    v_new: jnp.ndarray,    # [B, 1, Hkv, D] bf16
+    layer_idx: jnp.ndarray,  # [] int32
+    *,
+    scale: float,
+    head_block: int = 8,
+) -> jnp.ndarray:
+    """Same math as decode_attention_int8 but over the FULL stacked cache with
+    the layer selected via scalar prefetch. Slicing the layer out before the
+    call (lax.scan xs) materializes a copy of the whole layer's cache per
+    token — pallas consumers are opaque to XLA slice fusion; the copies (not
+    the kernel) dominated the measured decode step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    Lyr, B, Hkv, D, L = k_q.shape
+    H = q.shape[2]
+    G = H // Hkv
+    hb = head_block
+    while Hkv % hb != 0:
+        hb //= 2
+    n_hblocks = Hkv // hb
+
+    qt = q.reshape(B, Hkv, G, D)
+    knt = k_new.reshape(B, Hkv, 1, D)
+    vnt = v_new.reshape(B, Hkv, 1, D)
+    maskt = valid_mask[:, None, :].astype(jnp.int32)
+
+    def kernel(lidx_ref, *refs):
+        del lidx_ref
+        _kernel(*refs, scale=scale, hb=hb, block_l=BLOCK_L)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_hblocks),
+            in_specs=[
+                pl.BlockSpec((1, hb, G, D), lambda b, i, lidx: (b, i, 0, 0)),
+                pl.BlockSpec((1, 1, hb, D, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
+                pl.BlockSpec((1, 1, hb, 1, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
+                pl.BlockSpec((1, 1, hb, D, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
+                pl.BlockSpec((1, 1, hb, 1, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
+                pl.BlockSpec((1, 1, L), lambda b, i, lidx: (b, 0, 0)),
+                pl.BlockSpec((1, hb, 1, D), lambda b, i, lidx: (b, i, 0, 0)),
+                pl.BlockSpec((1, hb, 1, D), lambda b, i, lidx: (b, i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, hb, G, D),
+                                   lambda b, i, lidx: (b, i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
+      qt, k_q, k_s, v_q, v_s, maskt, knt, vnt)
     return out.reshape(B, 1, H, D)

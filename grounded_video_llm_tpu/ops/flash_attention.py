@@ -87,7 +87,82 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
-def _flash_fwd(q, k, v, bias, scale, causal, bounded=False):
+# Finite stand-in for -inf in the online-softmax running max: -inf - -inf is
+# NaN and would contaminate valid rows whose first k-chunks are fully masked
+# (left-padded prompts). exp(s - (-1e30)) still underflows to exactly 0 for
+# masked scores.
+_M_INIT = -1e30
+
+
+def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
+                       block_q, block_k, sk_orig, sq_orig, n_blocks,
+                       window):
+    """Causal forward that SKIPS fully-masked k-chunks. The full-rectangle
+    kernel above computes [block_q, Sk] scores and masks half away — at
+    prefill (Sq == Sk ≈ 3.5k) that wastes ~2x the attention FLOPs and VPU
+    passes. Here each q block online-softmaxes over only its valid k prefix
+    (flash-attention's standard inner loop, with the trip count derived from
+    the causal structure). K/V are already whole-resident in VMEM, so the
+    skip saves pure compute, not DMA."""
+    sk_p = k_ref.shape[2]
+    offset = sk_orig - sq_orig     # kpos of q row 0
+
+    def body(j, _):
+        q = q_ref[0, 0, pl.ds(j * block_q, block_q), :]   # [block_q, D]
+        # highest key this q block may attend + 1, clamped to the padded range
+        k_extent = jnp.minimum((j + 1) * block_q + offset, sk_p)
+        n_chunks = pl.cdiv(k_extent, block_k)
+        # sliding window: the block's lowest query needs no keys below
+        # qpos_min - window + 1 — skip whole chunks under that
+        if window is None:
+            c_start = 0
+        else:
+            low = jnp.maximum(j * block_q + offset - window + 1, 0)
+            c_start = low // block_k
+
+        def kloop(c, carry):
+            o_acc, m, l = carry
+            # slice the REFS — Mosaic lowers pl.ds ref reads; dynamic_slice
+            # on loaded values is unimplemented in the TPU lowering
+            k_c = k_ref[0, 0, pl.ds(c * block_k, block_k), :]
+            v_c = v_ref[0, 0, pl.ds(c * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [bq, bk]
+            b_c = bias_ref[0, 0, pl.ds(c * block_k, block_k)]
+            s = s + b_c[None, :]
+            qpos = (j * block_q + offset
+                    + jax.lax.broadcasted_iota(jnp.int32,
+                                               (block_q, block_k), 0))
+            kpos = (c * block_k
+                    + jax.lax.broadcasted_iota(jnp.int32,
+                                               (block_q, block_k), 1))
+            keep = kpos <= qpos
+            if window is not None:
+                keep = keep & (qpos - kpos < window)
+            s = jnp.where(keep, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            o_new = o_acc * alpha + jax.lax.dot_general(
+                p.astype(v_c.dtype), v_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            l_new = l * alpha[:, 0] + jnp.sum(p, axis=-1)
+            return o_new, m_new, l_new
+
+        o0 = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+        m0 = jnp.full((block_q, 1), _M_INIT, jnp.float32)
+        l0 = jnp.zeros((block_q,), jnp.float32)
+        o_acc, _, l = jax.lax.fori_loop(c_start, n_chunks, kloop,
+                                        (o0, m0, l0))
+        o = o_acc / l[:, None]
+        o_ref[0, 0, pl.ds(j * block_q, block_q), :] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+
+def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None):
     """Internally works in [B, H, S, D] layout — Pallas TPU blocks must live in
     the last two dims (sublane x lane)."""
     B, Sq, H, D = q.shape
@@ -96,9 +171,13 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False):
 
     # VMEM budget: the fp32 score tile (block_q x Sk) and its exp copy are the
     # big consumers; keep 2*block_q*Sk*4B under ~8MB so q/k/v/o fit alongside
-    # (scoped vmem limit is 16MB)
-    budget_rows = max(64, (8 * 1024 * 1024) // (Sk * 8))
-    block_q = min(BLOCK_Q, budget_rows // 8 * 8, -(-Sq // 8) * 8)
+    # (scoped vmem limit is 16MB). The causal kernel's score tile is only
+    # [block_q, block_k], so it keeps the full BLOCK_Q at any Sk.
+    if causal:
+        block_q = min(BLOCK_Q, -(-Sq // 8) * 8)
+    else:
+        budget_rows = max(64, (8 * 1024 * 1024) // (Sk * 8))
+        block_q = min(BLOCK_Q, budget_rows // 8 * 8, -(-Sq // 8) * 8)
     padded = -(-Sq // block_q) * block_q
     pad = padded - Sq
     if pad:
@@ -111,17 +190,36 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False):
     vt = v.transpose(0, 2, 1, 3)
 
     grid = (B, H)
-    kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                               block_q=block_q, sk=Sk, sq_orig=Sq,
-                               n_blocks=n_blocks, bounded=bounded)
+    if causal:
+        # online-softmax kernel skipping fully-masked k-chunks (~2x fewer
+        # attention FLOPs at prefill where Sq == Sk). K/V/bias pad to a
+        # block_k multiple; padded keys carry a NEG_INF bias (and fall beyond
+        # every valid row's causal horizon anyway).
+        block_k = 512
+        Sk_p = -(-Sk // block_k) * block_k
+        kpad = Sk_p - Sk
+        if kpad:
+            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, kpad), (0, 0)))
+            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, kpad), (0, 0)))
+            bias = jnp.pad(bias, ((0, 0), (0, kpad)), constant_values=NEG_INF)
+        kernel = functools.partial(_fwd_kernel_causal, scale=scale,
+                                   block_q=block_q, block_k=block_k,
+                                   sk_orig=Sk, sq_orig=Sq, n_blocks=n_blocks,
+                                   window=window)
+        kv_len = Sk_p
+    else:
+        kernel = functools.partial(_fwd_kernel, scale=scale, causal=False,
+                                   block_q=block_q, sk=Sk, sq_orig=Sq,
+                                   n_blocks=n_blocks, bounded=bounded)
+        kv_len = Sk
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h: (b, h // G, 0, 0)),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h: (b, h // G, 0, 0)),
-            pl.BlockSpec((1, 1, Sk), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, 1, kv_len, D), lambda b, h: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, kv_len, D), lambda b, h: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, kv_len), lambda b, h: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
@@ -135,7 +233,8 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-                scale, causal, block_q, sk, sq_orig, n_blocks, group):
+                scale, causal, block_q, sk, sq_orig, n_blocks, group,
+                window=None):
     """Backward program for one (batch, q-head, q-block): recompute p
     (flash-style, no saved probabilities), write this block's dq, accumulate
     dk/dv in fp32 VMEM scratch across q blocks AND across the GQA group — the
@@ -163,7 +262,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
                 + (sk - sq_orig))
         kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
-        s = jnp.where(kpos <= qpos, s, NEG_INF)
+        keep = kpos <= qpos
+        if window is not None:
+            keep = keep & (qpos - kpos < window)
+        s = jnp.where(keep, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)          # [bq, Sk] fp32
@@ -192,7 +294,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
         dv_ref[0, 0, :, :] = dv_acc[:, :].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, bias, do, scale, causal):
+def _flash_bwd(q, k, v, bias, do, scale, causal, window=None):
     B, Sq, H, D = q.shape
     _, Sk, Hkv, _ = k.shape
     G = H // Hkv
@@ -216,7 +318,7 @@ def _flash_bwd(q, k, v, bias, do, scale, causal):
 
     kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
                                block_q=block_q, sk=Sk, sq_orig=Sq,
-                               n_blocks=n_blocks, group=G)
+                               n_blocks=n_blocks, group=G, window=window)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(B, H, n_blocks),
@@ -249,20 +351,21 @@ def _flash_bwd(q, k, v, bias, do, scale, causal):
     return dq, dk.transpose(0, 2, 1, 3), dv.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_mha_core(q, k, v, bias, causal, scale, bounded):
-    return _flash_fwd(q, k, v, bias, scale, causal, bounded)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_mha_core(q, k, v, bias, causal, scale, bounded, window):
+    return _flash_fwd(q, k, v, bias, scale, causal, bounded, window)
 
 
-def _core_fwd(q, k, v, bias, causal, scale, bounded):
-    return _flash_fwd(q, k, v, bias, scale, causal, bounded), (q, k, v, bias)
+def _core_fwd(q, k, v, bias, causal, scale, bounded, window):
+    return (_flash_fwd(q, k, v, bias, scale, causal, bounded, window),
+            (q, k, v, bias))
 
 
-def _core_bwd(causal, scale, bounded, residuals, g):
+def _core_bwd(causal, scale, bounded, window, residuals, g):
     # backward always recomputes with the true row max — softmax is
     # offset-invariant, so the gradients match the bounded forward exactly
     q, k, v, bias = residuals
-    dq, dk, dv = _flash_bwd(q, k, v, bias, g, scale, causal)
+    dq, dk, dv = _flash_bwd(q, k, v, bias, g, scale, causal, window)
     return dq, dk, dv, jnp.zeros_like(bias)
 
 
@@ -272,14 +375,19 @@ _flash_mha_core.defvjp(_core_fwd, _core_bwd)
 def flash_mha(q, k, v, *, causal: bool = False,
               mask: Optional[jnp.ndarray] = None,
               scale: Optional[float] = None,
-              bounded_softmax: bool = False):
+              bounded_softmax: bool = False,
+              sliding_window: Optional[int] = None):
     """Drop-in for attention.xla_mha. mask: [B, Sk] keep-mask (bias-style
     4D masks fall back to XLA). bounded_softmax: skip the row-max pass
-    (see BOUNDED_OFFSET — only for known-bounded scores, e.g. qk-normed)."""
+    (see BOUNDED_OFFSET — only for known-bounded scores, e.g. qk-normed).
+    sliding_window: causal-only; keep keys with qpos - kpos < window."""
     if mask is not None and mask.ndim != 2:
         from .attention import xla_mha
 
-        return xla_mha(q, k, v, causal=causal, mask=mask, scale=scale)
+        return xla_mha(q, k, v, causal=causal, mask=mask, scale=scale,
+                       sliding_window=sliding_window)
+    if sliding_window is not None:
+        assert causal, "sliding_window requires causal attention"
     if scale is None:
         scale = q.shape[-1] ** -0.5
     B, _, _, _ = q.shape
@@ -288,4 +396,5 @@ def flash_mha(q, k, v, *, causal: bool = False,
         bias = jnp.zeros((B, Sk), jnp.float32)
     else:
         bias = jnp.where(mask.astype(bool), 0.0, NEG_INF).astype(jnp.float32)
-    return _flash_mha_core(q, k, v, bias, causal, scale, bounded_softmax)
+    return _flash_mha_core(q, k, v, bias, causal, scale, bounded_softmax,
+                           sliding_window)

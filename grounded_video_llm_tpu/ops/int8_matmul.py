@@ -41,6 +41,59 @@ def _mm_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     o_ref[:, :] = (y * s[None, :]).astype(out_dtype)
 
 
+def int8_matmul_layer(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray,
+                      layer_idx: jnp.ndarray, block_o: int = 512
+                      ) -> jnp.ndarray:
+    """x [M, D] @ w_q[layer_idx] for STACKED int8 weights [Lyr, D, O] with
+    scales [Lyr, O] — the decode-scan path. The layer is selected inside the
+    kernel via scalar prefetch so the DMA reads the big stacked buffer
+    directly. Slicing the layer out first (lax.scan xs slicing) materializes
+    a copy of every layer's weights per token — the pallas consumer is opaque
+    to XLA's slice fusion (measured: the copies, not the kernel, dominated
+    the 31 ms/token batch-6 decode step)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, D = x.shape
+    Lyr, Dw, O = w_q.shape
+    assert D == Dw
+    if D % 32 != 0 or O % block_o != 0:
+        w = (w_q[layer_idx].astype(x.dtype)
+             * scales[layer_idx][None, :].astype(x.dtype))
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    Mp = -(-M // 8) * 8
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+
+    out_dtype = x.dtype
+
+    def kernel(lidx_ref, x_ref, w_ref, s_ref, o_ref):
+        del lidx_ref
+        xv = x_ref[:, :]                        # [Mp, D] bf16
+        w = w_ref[0].astype(jnp.bfloat16)       # [D, block_o]
+        s = s_ref[0, 0, :]                      # [block_o]
+        y = jax.lax.dot_general(xv, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :] = (y * s[None, :]).astype(out_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(O // block_o,),
+            in_specs=[
+                pl.BlockSpec((Mp, D), lambda j, lidx: (0, 0)),
+                pl.BlockSpec((1, D, block_o), lambda j, lidx: (lidx[0], 0, j)),
+                pl.BlockSpec((1, 1, block_o), lambda j, lidx: (lidx[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((Mp, block_o), lambda j, lidx: (0, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), x, w_q,
+      scales[:, None, :])
+    return out[:M]
+
+
 def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray,
                 block_o: int = 512, block_m: int = 512) -> jnp.ndarray:
     """x [M, D] (bf16) @ int8 w_q [D, O] * scales [O] → [M, O] in x.dtype.

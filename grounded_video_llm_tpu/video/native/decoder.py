@@ -43,6 +43,14 @@ def available() -> bool:
     return _load() is not None
 
 
+def reload() -> bool:
+    """Retry loading after an external build (e.g. bench.py building cpp/
+    on a fresh checkout where the .so wasn't present at first import)."""
+    global _load_failed
+    _load_failed = False
+    return available()
+
+
 def probe(path: str) -> Tuple[int, float]:
     """→ (num_frames, fps). Raises IOError on failure."""
     lib = _load()

@@ -1,5 +1,12 @@
 """Ablation attribution for the decode step on the real chip.
 
+NOTE (post-fix): the product decode_step no longer scans over the cache/weight
+buffers — it scans layer INDICES and the Pallas kernels select their layer via
+scalar prefetch (models/llm.py). This script's local step copy keeps the old
+scan-over-xs structure deliberately: it reproduces the slicing-copy regime the
+fix removed (31.5 → 17.9 ms/token measured). Use phase_profile.py's decode
+stage to time the current product step.
+
 decode_step measures 31.4 ms/token at batch 6 (phase_profile) against a ~10 ms
 streaming floor (3.7GB int8 weights + ~4.3GB int8 cache at 819GB/s). Each
 variant removes ONE component from a faithful copy of models/llm.decode_step
@@ -38,12 +45,16 @@ H = 32
 S0 = 3483
 
 
-def build_params(rng):
+def build_params(key):
+    """On-device random int8 params — host numpy + jnp.asarray would ship
+    ~4GB through the axon tunnel (measured: stalls >20min)."""
+    ks = list(jax.random.split(key, 12))
+
     def qw(shape):
-        q = rng.integers(-127, 127, size=shape).astype(np.int8)
-        s = (np.abs(rng.normal(size=shape[-1])) * 1e-3 + 1e-4).astype(
-            np.float32)
-        return {"q": jnp.asarray(q), "scale": jnp.asarray(s)}
+        q = jax.random.randint(ks.pop(), shape, -127, 128, jnp.int8)
+        sshape = (shape[0], shape[-1]) if len(shape) == 3 else (shape[-1],)
+        s = jax.random.uniform(ks.pop(), sshape, jnp.float32, 1e-4, 1e-3)
+        return {"q": q, "scale": s}
 
     return {
         "layers": {
@@ -59,24 +70,26 @@ def build_params(rng):
     }
 
 
-def bf16_params(p, rng):
+def bf16_params(p):
+    """Dequantize ON DEVICE (jitted by the caller)."""
     def dq(k):
-        return (np.asarray(k["q"], np.float32)
-                * np.asarray(k["scale"])[None, ...]).astype(np.float32)
+        q = k["q"].astype(jnp.float32)
+        s = k["scale"]
+        return (q * (s[:, None, :] if q.ndim == 3 else s[None, :])).astype(
+            jnp.bfloat16)
 
     lay = p["layers"]
     return {
         "layers": {
             "input_norm_w": lay["input_norm_w"],
-            "qkv_kernel": jnp.asarray(dq(lay["qkv_kernel"]), jnp.bfloat16),
-            "o_kernel": jnp.asarray(dq(lay["o_kernel"]), jnp.bfloat16),
+            "qkv_kernel": dq(lay["qkv_kernel"]),
+            "o_kernel": dq(lay["o_kernel"]),
             "post_norm_w": lay["post_norm_w"],
-            "gate_up_kernel": jnp.asarray(dq(lay["gate_up_kernel"]),
-                                          jnp.bfloat16),
-            "down_kernel": jnp.asarray(dq(lay["down_kernel"]), jnp.bfloat16),
+            "gate_up_kernel": dq(lay["gate_up_kernel"]),
+            "down_kernel": dq(lay["down_kernel"]),
         },
         "final_norm_w": p["final_norm_w"],
-        "lm_head": jnp.asarray(dq(p["lm_head"]), jnp.bfloat16),
+        "lm_head": dq(p["lm_head"]),
     }
 
 
@@ -91,19 +104,24 @@ def main():
 
     cfg = vlm_config("phi3.5", stage="inference").llm
     print(f"devices: {jax.devices()}  batch={B} steps={STEPS}")
-    rng = np.random.default_rng(0)
-    params = build_params(rng)
+    params = jax.jit(build_params)(jax.random.key(0))
 
-    kc = rng.integers(-127, 127, size=(L, B, HKV, DH, MAXLEN)).astype(np.int8)
-    ks = (np.abs(rng.normal(size=(L, B, HKV, 1, MAXLEN))) * 1e-2
-          + 1e-3).astype(np.float32)
-    cache_q = llm.QuantKVCache(
-        jnp.asarray(kc), jnp.asarray(ks),
-        jnp.asarray(rng.integers(-127, 127,
-                                 size=(L, B, HKV, DH, MAXLEN)).astype(np.int8)),
-        jnp.asarray(ks), jnp.full((B,), S0, jnp.int32))
+    @jax.jit
+    def build_cache(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        kq = jax.random.randint(k1, (L, B, HKV, DH, MAXLEN), -127, 128,
+                                jnp.int8)
+        vq = jax.random.randint(k2, (L, B, HKV, DH, MAXLEN), -127, 128,
+                                jnp.int8)
+        sc = jax.random.uniform(k3, (L, B, HKV, 1, MAXLEN), jnp.float32,
+                                1e-3, 1e-2)
+        return llm.QuantKVCache(kq, sc, vq, sc,
+                                jnp.full((B,), S0, jnp.int32))
+
+    cache_q = build_cache(jax.random.key(1))
     valid0 = jnp.zeros((B, MAXLEN), bool).at[:, :S0].set(True)
-    tok = jnp.asarray(rng.normal(size=(B, 1, D)) * 0.05, jnp.bfloat16)
+    tok = (jax.random.normal(jax.random.key(2), (B, 1, D), jnp.float32)
+           * 0.05).astype(jnp.bfloat16)
 
     def make_step(variant, use_quant=True):
         def step(p, x, cache, valid, pos):
@@ -140,41 +158,38 @@ def main():
             x2, (new_ks, new_vs) = jax.lax.scan(body, x, xs)
 
             if variant != "no_write":
+                # scalar-index writes, matching models/llm.decode_step — the
+                # per-row vmap(dynamic_update_slice) form lowered to a
+                # full-cache select (measured +9.0 ms/token here)
+                uni = write_idx[0]
                 if use_quant:
-                    def write_hm(arr, nv, idx):
-                        def one_b(c, n, i):
-                            return jax.lax.dynamic_update_slice(
-                                c, n[..., None], (0, 0, 0, i))
-                        return jax.vmap(one_b, in_axes=(1, 1, 0),
-                                        out_axes=1)(arr, nv.astype(arr.dtype),
-                                                    idx)
-
-                    def write_scale(arr, nv, idx):
-                        def one_b(c, n, i):
-                            return jax.lax.dynamic_update_slice(
-                                c, n[:, :, None, None], (0, 0, 0, i))
-                        return jax.vmap(one_b, in_axes=(1, 1, 0),
-                                        out_axes=1)(arr, nv, idx)
-
                     kq, ksc = quantize_kv(new_ks)
                     vq, vsc = quantize_kv(new_vs)
                     cache = llm.QuantKVCache(
-                        write_hm(cache.k, kq, write_idx),
-                        write_scale(cache.k_scale, ksc, write_idx),
-                        write_hm(cache.v, vq, write_idx),
-                        write_scale(cache.v_scale, vsc, write_idx),
+                        jax.lax.dynamic_update_slice(
+                            cache.k, kq[..., None].astype(cache.k.dtype),
+                            (0, 0, 0, 0, uni)),
+                        jax.lax.dynamic_update_slice(
+                            cache.k_scale, ksc[:, :, :, None, None],
+                            (0, 0, 0, 0, uni)),
+                        jax.lax.dynamic_update_slice(
+                            cache.v, vq[..., None].astype(cache.v.dtype),
+                            (0, 0, 0, 0, uni)),
+                        jax.lax.dynamic_update_slice(
+                            cache.v_scale, vsc[:, :, :, None, None],
+                            (0, 0, 0, 0, uni)),
                         cache.length + 1)
                 else:
-                    def write(arr, nv, idx):
-                        def one_b(c, n, i):
-                            return jax.lax.dynamic_update_slice(
-                                c, n[:, None], (0, i, 0, 0))
-                        return jax.vmap(one_b, in_axes=(1, 1, 0),
-                                        out_axes=1)(arr, nv.astype(arr.dtype),
-                                                    idx)
-                    cache = llm.KVCache(write(cache.k, new_ks, write_idx),
-                                        write(cache.v, new_vs, write_idx),
-                                        cache.length + 1)
+                    cache = llm.KVCache(
+                        jax.lax.dynamic_update_slice(
+                            cache.k,
+                            new_ks[:, :, None].astype(cache.k.dtype),
+                            (0, 0, uni, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            cache.v,
+                            new_vs[:, :, None].astype(cache.v.dtype),
+                            (0, 0, uni, 0, 0)),
+                        cache.length + 1)
             slot = jnp.arange(MAXLEN)[None, :] == write_idx[:, None]
             valid = valid | slot
             x2 = rms_norm(x2, p["final_norm_w"], cfg.rms_eps)
@@ -214,13 +229,18 @@ def main():
     # bf16 everything (XLA matmuls + bf16 cache): 2x bytes, no Pallas.
     # Free the int8 cache first — bf16 weights (7.4GB) + bf16 cache (8.4GB)
     # + the int8 cache (5.3GB) would exceed HBM.
-    p16 = bf16_params(params, rng)
+    p16 = jax.jit(bf16_params, donate_argnums=0)(params)
     del params, cache_q
-    kc16 = jnp.asarray(rng.normal(size=(L, B, MAXLEN, HKV, DH)) * 0.1,
-                       jnp.bfloat16)
-    vc16 = jnp.asarray(rng.normal(size=(L, B, MAXLEN, HKV, DH)) * 0.1,
-                       jnp.bfloat16)
-    cache16 = llm.KVCache(kc16, vc16, jnp.full((B,), S0, jnp.int32))
+
+    @jax.jit
+    def build_cache16(key):
+        k1, k2 = jax.random.split(key)
+        mk = lambda kk: (jax.random.normal(
+            kk, (L, B, MAXLEN, HKV, DH), jnp.float32) * 0.1).astype(
+                jnp.bfloat16)
+        return llm.KVCache(mk(k1), mk(k2), jnp.full((B,), S0, jnp.int32))
+
+    cache16 = build_cache16(jax.random.key(3))
     dt = timed("all_bf16", make_step("full", use_quant=False), p16, cache16,
                valid0)
     print(f"    -> all_bf16 delta: {(base-dt)*1000:+.2f} ms")
