@@ -49,6 +49,10 @@ ENCODER_CHUNK = (int(os.environ["BENCH_CHUNK"])
 N_E2E_BATCHES = 3
 QUANTIZE = True       # weight-only int8, per-out-channel scales (serve/quantize.py)
 QUANTIZE_CACHE = True  # int8 KV cache, per-position-head scales
+# W8A8 encoders (dynamic per-row activations): ~1.5x on the compute-bound
+# encoder GEMMs (int8 MXU, scripts/microbench_int8_gemm.py). BENCH_QUANT_ENC=0
+# to disable.
+QUANTIZE_ENCODERS = os.environ.get("BENCH_QUANT_ENC", "1") == "1"
 WARMUP_ITERS = 1
 MEASURE_ITERS = 3
 VIDEO_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -131,8 +135,18 @@ def main():
         params = dict(params)
         params["llm"] = jax.jit(quantize_llm_for_serving,
                                 donate_argnums=0)(params["llm"])
-        print("serving mode: weight-only int8 (per-out-channel scales)",
-              file=sys.stderr)
+        mode = "weight-only int8 (per-out-channel scales)"
+        if QUANTIZE_ENCODERS:
+            from grounded_video_llm_tpu.serve.quantize import (
+                quantize_clip_for_serving, quantize_video_encoder_for_serving)
+
+            params["video_encoder"] = jax.jit(
+                quantize_video_encoder_for_serving,
+                donate_argnums=0)(params["video_encoder"])
+            params["clip"] = jax.jit(quantize_clip_for_serving,
+                                     donate_argnums=0)(params["clip"])
+            mode += " + W8A8 encoders (dynamic activations)"
+        print(f"serving mode: {mode}", file=sys.stderr)
     jax.block_until_ready(params)
     print(f"param init: {time.time()-t0:.1f}s", file=sys.stderr)
 

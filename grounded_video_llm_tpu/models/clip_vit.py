@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..core.config import CLIPVisionConfig
 from ..ops.attention import mha
+from ..ops.int8_matmul import matmul_any
 from ..ops.normalization import layer_norm
 
 
@@ -66,15 +67,15 @@ def _layer(x, lp, cfg: CLIPVisionConfig):
     H = cfg.num_heads
     residual = x
     h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.layer_norm_eps)
-    q = (h @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, -1)
-    k = (h @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, H, -1)
-    v = (h @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, H, -1)
+    q = (matmul_any(h, lp["q"]["kernel"]) + lp["q"]["bias"]).reshape(B, S, H, -1)
+    k = (matmul_any(h, lp["k"]["kernel"]) + lp["k"]["bias"]).reshape(B, S, H, -1)
+    v = (matmul_any(h, lp["v"]["kernel"]) + lp["v"]["bias"]).reshape(B, S, H, -1)
     attn = mha(q, k, v, causal=False).reshape(B, S, D)
-    x = residual + (attn @ lp["o"]["kernel"] + lp["o"]["bias"])
+    x = residual + (matmul_any(attn, lp["o"]["kernel"]) + lp["o"]["bias"])
     residual = x
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
-    h = quick_gelu(h @ lp["fc1"]["kernel"] + lp["fc1"]["bias"])
-    x = residual + (h @ lp["fc2"]["kernel"] + lp["fc2"]["bias"])
+    h = quick_gelu(matmul_any(h, lp["fc1"]["kernel"]) + lp["fc1"]["bias"])
+    x = residual + (matmul_any(h, lp["fc2"]["kernel"]) + lp["fc2"]["bias"])
     return x
 
 

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..core.config import InternVideo2Config
 from ..ops.attention import mha
+from ..ops.int8_matmul import matmul_any
 from ..ops.normalization import layer_scale, rms_norm
 
 
@@ -138,7 +139,7 @@ def _block(x, bp, cfg: InternVideo2Config):
     Dh = cfg.head_dim
 
     h = rms_norm(x, bp["norm1_w"], cfg.rms_eps)
-    qkv = h @ bp["qkv_kernel"]  # [B, S, 3D]
+    qkv = matmul_any(h, bp["qkv_kernel"])  # [B, S, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     if cfg.qk_normalization:
         # RMSNorm over the *flattened* head dim (reference internvideo2.py:590-597)
@@ -151,12 +152,13 @@ def _block(x, bp, cfg: InternVideo2Config):
     # pass (ops/flash_attention.BOUNDED_OFFSET; measured -20% attention time)
     attn = mha(q, k, v, causal=False,
                bounded_softmax=cfg.qk_normalization).reshape(B, S, D)
-    attn = attn @ bp["proj"]["kernel"] + bp["proj"]["bias"]
+    attn = matmul_any(attn, bp["proj"]["kernel"]) + bp["proj"]["bias"]
     x = x + layer_scale(attn, bp["ls1"])
 
     h = rms_norm(x, bp["norm2_w"], cfg.rms_eps)
-    h = jax.nn.gelu(h @ bp["fc1"]["kernel"] + bp["fc1"]["bias"], approximate=False)
-    h = h @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
+    h = jax.nn.gelu(matmul_any(h, bp["fc1"]["kernel"]) + bp["fc1"]["bias"],
+                    approximate=False)
+    h = matmul_any(h, bp["fc2"]["kernel"]) + bp["fc2"]["bias"]
     return x + layer_scale(h, bp["ls2"])
 
 

@@ -120,9 +120,14 @@ def _matmul_maybe_int8(x, kernel):
         for d in lead:
             rows *= d
         if rows >= _INT8_GEMM_MIN_ROWS:
-            w = (kernel["q"].astype(jnp.float32)
-                 * kernel["scale"][..., None, :]).astype(x.dtype)
-            return x @ w
+            # W8A8: dynamic per-row activation int8 + int8xint8 MXU dot —
+            # faster than dequantize-then-bf16 on the compute-bound prefill
+            # GEMMs (int8 MXU ~1.5x bf16 at these shapes, microbench; in-situ
+            # gain smaller but real). Serving-only approximation: the int8
+            # params only exist under serve/quantize.py's opt-in.
+            from ..ops.int8_matmul import dynamic_int8_matmul
+
+            return dynamic_int8_matmul(x, kernel["q"], kernel["scale"])
         from ..ops.int8_matmul import int8_matmul
 
         flat = x.reshape(-1, x.shape[-1])

@@ -41,6 +41,34 @@ def _mm_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     o_ref[:, :] = (y * s[None, :]).astype(out_dtype)
 
 
+def dynamic_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
+                        w_scale: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 matmul: per-row dynamic activation quantization + int8xint8 MXU
+    dot + fp32 rescale. x [..., D], w_q [D, O] int8, w_scale [O] f32.
+
+    The int8 MXU runs the encoder/prefill GEMM shapes at ~180 TF/s vs ~118
+    bf16 (scripts/microbench_int8_gemm.py, clean chained harness) — a 1.5x
+    compute win for the compute-bound large-GEMM paths. The dynamic per-row
+    absmax quant is ~4 VPU passes over x (tens of µs against a multi-ms
+    matmul) and needs no calibration. Plain XLA — int8xint8→int32 dot_general
+    lowers natively to the MXU; no Pallas needed."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(absmax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, w_q, (((xq.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * xs * w_scale).astype(x.dtype)
+
+
+def matmul_any(x: jnp.ndarray, kernel) -> jnp.ndarray:
+    """x @ kernel where kernel is a dense array or a {"q","scale"} W8A8 pair
+    (encoder serving quantization, serve/quantize.py)."""
+    if isinstance(kernel, dict):
+        return dynamic_int8_matmul(x, kernel["q"], kernel["scale"])
+    return x @ kernel
+
+
 def int8_matmul_layer(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray,
                       layer_idx: jnp.ndarray, block_o: int = 512
                       ) -> jnp.ndarray:

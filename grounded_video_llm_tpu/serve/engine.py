@@ -42,9 +42,12 @@ class InferenceEngine:
                  gen_cfg: Optional[GenerateConfig] = None,
                  seed: int = 42, param_dtype=None,
                  quantize: Optional[str] = None):
-        if quantize == "int8":
-            # opt-in weight-only int8 serving (serve/quantize.py): merges any
-            # LoRA overlay first, then quantizes the decoder projections
+        if quantize in ("int8", "int8_full"):
+            # opt-in int8 serving (serve/quantize.py): merges any LoRA overlay
+            # first, then quantizes the decoder projections weight-only.
+            # "int8_full" additionally W8A8-quantizes both encoder trunks
+            # (dynamic per-row activations — ~1.5x on their compute-bound
+            # GEMMs, measured).
             import jax as _jax
 
             from ..train.lora import merge_lora
@@ -53,6 +56,15 @@ class InferenceEngine:
             params = dict(params)
             params["llm"] = _jax.jit(quantize_llm_for_serving)(
                 merge_lora(params["llm"]))
+            if quantize == "int8_full":
+                from .quantize import (quantize_clip_for_serving,
+                                       quantize_video_encoder_for_serving)
+
+                params["video_encoder"] = _jax.jit(
+                    quantize_video_encoder_for_serving)(
+                        params["video_encoder"])
+                params["clip"] = _jax.jit(quantize_clip_for_serving)(
+                    params["clip"])
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

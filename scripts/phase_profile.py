@@ -53,6 +53,16 @@ def main():
     params = dict(params)
     params["llm"] = jax.jit(quantize_llm_for_serving,
                             donate_argnums=0)(params["llm"])
+    if os.environ.get("PHASE_QUANT_ENC", "1") == "1":  # match bench serving
+        from grounded_video_llm_tpu.serve.quantize import (
+            quantize_clip_for_serving, quantize_video_encoder_for_serving)
+
+        params["video_encoder"] = jax.jit(quantize_video_encoder_for_serving,
+                                          donate_argnums=0)(
+                                              params["video_encoder"])
+        params["clip"] = jax.jit(quantize_clip_for_serving,
+                                 donate_argnums=0)(params["clip"])
+        print("encoders: W8A8 int8", flush=True)
     jax.block_until_ready(params)
 
     clips = B * cfg.num_segs
