@@ -233,11 +233,26 @@ def features(params, cfg: InternVideo2Config, pixels: jnp.ndarray) -> jnp.ndarra
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(dtype)
 
-    blocks = jax.tree_util.tree_map(lambda a: a[:cfg.num_blocks_used],
-                                    params["blocks"])
+    blocks = params["blocks"]
+    n_total = blocks["norm1_w"].shape[0]
+    if cfg.num_blocks_used == n_total:
+        def body(h, bp):
+            return _block(h, bp, cfg), None
 
-    def body(h, bp):
-        return _block(h, bp, cfg), None
+        x, _ = jax.lax.scan(body, x, blocks)
+    else:
+        # early exit (reference internvideo2.py:1028-1030 runs depth-2 = 39 of
+        # 40 blocks): scan INDICES and gather each block's weights per step —
+        # a tree_map slice a[:39] materializes a second full copy of the
+        # trunk weights (~2GB bf16 in the train step, ~1GB int8 serving; the
+        # allocation that pushed the grounded-stage step out of HBM)
+        def body(h, i):
+            bp = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                       keepdims=False),
+                blocks)
+            return _block(h, bp, cfg), None
 
-    x, _ = jax.lax.scan(body, x, blocks)
+        x, _ = jax.lax.scan(body, x,
+                            jnp.arange(cfg.num_blocks_used, dtype=jnp.int32))
     return x

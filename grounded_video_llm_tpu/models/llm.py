@@ -313,6 +313,48 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return total / count
 
 
+def causal_lm_loss_from_hidden(params, hidden: jnp.ndarray,
+                               labels: jnp.ndarray,
+                               ignore_index: int = -100,
+                               chunk: int = 1024) -> jnp.ndarray:
+    """Sequence-chunked shifted CE: identical math to
+    logits_from_hidden + causal_lm_loss, but the fp32 [S, V] logits never
+    materialize — the grounded train step's full-size logits are
+    2 x 930MB f32 at S=7.5k x V=32k, the allocation that pushed the step
+    out of HBM. Each chunk projects [chunk, V] (≈130MB), takes its CE
+    partial sums under jax.checkpoint (the backward recomputes the chunk's
+    logits instead of storing them), and the scan carries only scalars."""
+    B, S, D = hidden.shape
+    h = hidden[:, :-1]
+    lab = labels[:, 1:]
+    n = S - 1
+    pad = (-n) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        lab = jnp.pad(lab, ((0, 0), (0, pad)), constant_values=ignore_index)
+    n_chunks = (n + pad) // chunk
+    h = h.reshape(B, n_chunks, chunk, D).transpose(1, 0, 2, 3)
+    lab = lab.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_ce(carry, xs):
+        total, count = carry
+        h_c, lab_c = xs
+        logits = logits_from_hidden(params, h_c)       # [B, chunk, V] f32
+        valid = lab_c != ignore_index
+        safe = jnp.where(valid, lab_c, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        total = total + jnp.sum(jnp.where(valid, -ll, 0.0))
+        count = count + jnp.sum(valid)
+        return (total, count), None
+
+    (total, count), _ = jax.lax.scan(
+        chunk_ce, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (h, lab))
+    return total / jnp.maximum(count, 1)
+
+
 # ---------------------------------------------------------------------------
 # Prefill / decode with KV cache
 # ---------------------------------------------------------------------------
@@ -349,17 +391,23 @@ def decode_step(
     params, cfg: LLMConfig, token_embeds: jnp.ndarray,  # [B, 1, D]
     cache, valid_mask: jnp.ndarray,  # [B, max_len] — attendable slots
     positions: jnp.ndarray,  # [B] position ids of the new token
+    active: Optional[jnp.ndarray] = None,  # [B] bool — rows still generating
 ):
     """One decode step: append k/v at slot cache.length, attend over valid
     slots (valid_mask covers left-padding holes from the prefill). Returns
     (logits [B, V], cache, updated valid_mask). cache: KVCache (bf16) or
-    QuantKVCache (int8 + scales, via the Pallas dequant-in-VMEM kernel)."""
+    QuantKVCache (int8 + scales, via the Pallas dequant-in-VMEM kernel).
+
+    active: continuous-batching pool support (quant path) — inactive rows
+    (finished or free slots) clamp their write slot to its current value and
+    do NOT advance cache.length, so a done row idles in place instead of
+    growing past max_len. None → all rows active (batch serving)."""
     B = token_embeds.shape[0]
     quant = isinstance(cache, QuantKVCache)
     max_len = cache.max_len if quant else cache.k.shape[2]
     cos, sin = llm_rope_tables(cfg, positions[:, None], seq_len_hint=max_len)
 
-    write_idx = cache.length  # [B]
+    write_idx = jnp.minimum(cache.length, max_len - 1)  # [B]
     if cfg.sliding_window is not None:
         # sliding window (reference modeling_phi3.py:688-718): attend only the
         # most recent `window` slots. Slot index and token position differ by
@@ -450,44 +498,46 @@ def decode_step(
               if quant else (params["layers"], cache.k, cache.v))
         x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
 
-    # Single deferred write per cache at ONE shared slot index. Serving keeps
-    # slot indices uniform across the batch (left-padded prompts → every row's
-    # cache.length is identical), so the write is a single dynamic_update_slice
-    # that XLA performs in place on the loop-carried buffer. The previous
-    # per-row vmap(dynamic_update_slice) lowered to a full-cache select — a
-    # ~5.3GB read+write per token, measured +9.0 ms/token at batch 6
-    # (scripts/ablate_decode.py). Rows that diverge (per-row lengths) would
-    # need the scatter form back — continuous batching should use per-slot
-    # caches instead.
-    uni_idx = write_idx[0]
-
-    def write(cache_arr, new_val):  # [L,B,max_len,Hkv,Dh], [L,B,Hkv,Dh]
-        return jax.lax.dynamic_update_slice(
-            cache_arr, new_val[:, :, None].astype(cache_arr.dtype),
-            (0, 0, uni_idx, 0, 0))
-
-    def write_hm(cache_arr, new_val):  # [L,B,Hkv,D,max], [L,B,Hkv,D]
-        return jax.lax.dynamic_update_slice(
-            cache_arr, new_val[..., None].astype(cache_arr.dtype),
-            (0, 0, 0, 0, uni_idx))
-
-    def write_scale(scale_arr, new_scale):  # [L,B,Hkv,1,max], [L,B,Hkv]
-        return jax.lax.dynamic_update_slice(
-            scale_arr, new_scale[:, :, :, None, None], (0, 0, 0, 0, uni_idx))
-
+    # Single deferred write per cache, at PER-ROW slot indices.
+    #
+    # Quantized path: a Pallas scatter-write kernel aliases the cache buffer
+    # and rewrites only the 128-lane tile containing each row's slot (~75MB
+    # r+w per side, independent of max_len, per-row indices supported — the
+    # continuous-batching requirement). The per-row
+    # vmap(dynamic_update_slice) it replaces lowered to a full-cache select
+    # (~5.3GB r+w, measured +9.0 ms/token at batch 6,
+    # scripts/ablate_decode.py).
+    #
+    # bf16 path: lengths are uniform in batch serving (left-padded prompts),
+    # so a single shared-index dynamic_update_slice stays in place on the
+    # loop-carried buffer.
     if quant:
+        from ..ops.cache_write import scatter_write_kv, scatter_write_scale
         from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
 
         kq, ksc = qkv_fn(new_ks)   # [L,B,Hkv,D] i8, [L,B,Hkv]
         vq, vsc = qkv_fn(new_vs)
+        adv = (jnp.ones((write_idx.shape[0],), jnp.int32) if active is None
+               else active.astype(jnp.int32))
         new_cache = QuantKVCache(
-            write_hm(cache.k, kq), write_scale(cache.k_scale, ksc),
-            write_hm(cache.v, vq), write_scale(cache.v_scale, vsc),
-            cache.length + 1)
+            scatter_write_kv(cache.k, kq, write_idx),
+            scatter_write_scale(cache.k_scale, ksc, write_idx),
+            scatter_write_kv(cache.v, vq, write_idx),
+            scatter_write_scale(cache.v_scale, vsc, write_idx),
+            cache.length + adv)
     else:
+        uni_idx = write_idx[0]
+
+        def write(cache_arr, new_val):  # [L,B,max_len,Hkv,Dh], [L,B,Hkv,Dh]
+            return jax.lax.dynamic_update_slice(
+                cache_arr, new_val[:, :, None].astype(cache_arr.dtype),
+                (0, 0, uni_idx, 0, 0))
+
         new_cache = KVCache(write(cache.k, new_ks), write(cache.v, new_vs),
                             cache.length + 1)
     slot = jnp.arange(max_len)[None, :] == write_idx[:, None]
+    if active is not None:
+        slot = slot & active[:, None]
     valid_mask = valid_mask.astype(bool) | slot
     x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
     logits = logits_from_hidden(params, x)[:, 0]

@@ -267,11 +267,13 @@ def forward_loss(params, cfg: VLMConfig, batch: Batch,
     embeds, labels, mask = splice_multimodal(
         batch.input_ids, batch.labels, batch.attn_mask, video_features,
         params["llm"]["embed"], batch.is_text)
-    logits = llm_mod.forward_logits(params["llm"], cfg.llm, embeds,
-                                    attn_mask=mask, remat=remat,
-                                    lora_dropout=lora_dropout,
-                                    dropout_rng=dropout_rng)
-    return llm_mod.causal_lm_loss(logits, labels)
+    hidden, _ = llm_mod.forward_hidden(params["llm"], cfg.llm, embeds,
+                                       attn_mask=mask, remat=remat,
+                                       lora_dropout=lora_dropout,
+                                       dropout_rng=dropout_rng)
+    # sequence-chunked CE: the full fp32 [S, V] logits (2 x 930MB at the
+    # grounded length) never materialize — see causal_lm_loss_from_hidden
+    return llm_mod.causal_lm_loss_from_hidden(params["llm"], hidden, labels)
 
 
 def embed_tokens(params, token_ids: jnp.ndarray) -> jnp.ndarray:

@@ -46,8 +46,8 @@ BLOCK_Q = 256
 BOUNDED_OFFSET = 40.0
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
-                block_q, sk, sq_orig, n_blocks, bounded):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
+                causal, block_q, sk, sq_orig, n_blocks, bounded):
     """One program = one (batch, q-head): loads K/V once, loops q blocks
     internally. Per-program work is n_blocks large matmuls, so the fixed
     per-program dispatch cost (~µs) amortizes — a (B, H, Sq/128) grid of tiny
@@ -69,6 +69,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
             kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
             s = jnp.where(kpos <= qpos, s, NEG_INF)
         if bounded:
+            m = jnp.full((s.shape[0], 1), BOUNDED_OFFSET, jnp.float32)
             p = jnp.exp(s - BOUNDED_OFFSET)
         else:
             m = jnp.max(s, axis=-1, keepdims=True)
@@ -82,6 +83,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
             preferred_element_type=jnp.float32)
         o = o / denom
         o_ref[0, 0, pl.ds(j * block_q, block_q), :] = o.astype(o_ref.dtype)
+        # logsumexp per row — the backward's softmax replay key. The bounded
+        # offset IS a valid m (softmax offset-invariance), so the formula is
+        # identical in both modes.
+        lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)] = (
+            m[:, 0] + jnp.log(denom[:, 0]))
         return 0
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
@@ -94,8 +100,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, causal,
 _M_INIT = -1e30
 
 
-def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
-                       block_q, block_k, sk_orig, sq_orig, n_blocks,
+def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                       scale, block_q, block_k, sk_orig, sq_orig, n_blocks,
                        window):
     """Causal forward that SKIPS fully-masked k-chunks. The full-rectangle
     kernel above computes [block_q, Sk] scores and masks half away — at
@@ -153,10 +159,12 @@ def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
         o0 = jnp.zeros((block_q, q.shape[1]), jnp.float32)
         m0 = jnp.full((block_q, 1), _M_INIT, jnp.float32)
         l0 = jnp.zeros((block_q,), jnp.float32)
-        o_acc, _, l = jax.lax.fori_loop(c_start, n_chunks, kloop,
-                                        (o0, m0, l0))
+        o_acc, m_fin, l = jax.lax.fori_loop(c_start, n_chunks, kloop,
+                                            (o0, m0, l0))
         o = o_acc / l[:, None]
         o_ref[0, 0, pl.ds(j * block_q, block_q), :] = o.astype(o_ref.dtype)
+        lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)] = (m_fin[:, 0]
+                                                         + jnp.log(l))
         return 0
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
@@ -175,6 +183,12 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None):
     # [block_q, block_k], so it keeps the full BLOCK_Q at any Sk.
     if causal:
         block_q = min(BLOCK_Q, -(-Sq // 8) * 8)
+        # long prefills (grounded train step: Sq = 4096+3420 = 7516): the
+        # double-buffered q/k/v/bias/out blocks alone approach the 16MB scoped
+        # vmem limit — shrink the chunk tiles to stay under (measured: 256/512
+        # blocks overflow by 0.15MB at Sq_p 7680)
+        if Sq > 6144:
+            block_q = 128
     else:
         budget_rows = max(64, (8 * 1024 * 1024) // (Sk * 8))
         block_q = min(BLOCK_Q, budget_rows // 8 * 8, -(-Sq // 8) * 8)
@@ -195,7 +209,7 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None):
         # attention FLOPs at prefill where Sq == Sk). K/V/bias pad to a
         # block_k multiple; padded keys carry a NEG_INF bias (and fall beyond
         # every valid row's causal horizon anyway).
-        block_k = 512
+        block_k = 512 if Sq <= 6144 else 256
         Sk_p = -(-Sk // block_k) * block_k
         kpad = Sk_p - Sk
         if kpad:
@@ -212,7 +226,7 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None):
                                    block_q=block_q, sk=Sk, sq_orig=Sq,
                                    n_blocks=n_blocks, bounded=bounded)
         kv_len = Sk
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -221,151 +235,287 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None):
             pl.BlockSpec((1, 1, kv_len, D), lambda b, h: (b, h // G, 0, 0)),
             pl.BlockSpec((1, 1, kv_len), lambda b, h: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Sq_p), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, Sq_p), jnp.float32),
+        ],
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(qt, kt, vt, bias[:, None, :])
     out = out.transpose(0, 2, 1, 3)
+    lse = lse[:, :, 0, :]
     if pad:
         out = out[:, :Sq]
-    return out
+        lse = lse[:, :, :Sq]
+    return out, lse
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-                scale, causal, block_q, sk, sq_orig, n_blocks, group,
-                window=None):
-    """Backward program for one (batch, q-head, q-block): recompute p
-    (flash-style, no saved probabilities), write this block's dq, accumulate
-    dk/dv in fp32 VMEM scratch across q blocks AND across the GQA group — the
-    sequential grid revisits the same dk/dv output block for group*n_blocks
-    consecutive steps."""
-    h = pl.program_id(1)
-    j = pl.program_id(2)
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    bias_row = bias_ref[0, 0, :][None, :]
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                   bias_ref, dq_ref, *, scale, causal, window, block_q,
+                   block_k, sk_orig, sq_orig, n_qblocks):
+    """dq for one (batch, q-head): q-block outer loop, k-chunk inner loop
+    with the causal/window extent skip. p replays from the saved per-row
+    logsumexp — no max/denom recompute, no cross-block state."""
+    sk_p = k_ref.shape[2]
+    offset = sk_orig - sq_orig
 
-    @pl.when((h % group == 0) & (j == 0))
+    def body(j, _):
+        q_j = q_ref[0, 0, pl.ds(j * block_q, block_q), :]
+        do_j = do_ref[0, 0, pl.ds(j * block_q, block_q), :]
+        lse_j = lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)][:, None]
+        delta_j = delta_ref[0, 0, 0, pl.ds(j * block_q, block_q)][:, None]
+        if causal:
+            k_extent = jnp.minimum((j + 1) * block_q + offset, sk_p)
+            n_chunks = pl.cdiv(k_extent, block_k)
+            if window is None:
+                c_start = 0
+            else:
+                low = jnp.maximum(j * block_q + offset - window + 1, 0)
+                c_start = low // block_k
+        else:
+            n_chunks = sk_p // block_k
+            c_start = 0
+
+        def kloop(c, dq_acc):
+            k_c = k_ref[0, 0, pl.ds(c * block_k, block_k), :]
+            v_c = v_ref[0, 0, pl.ds(c * block_k, block_k), :]
+            b_c = bias_ref[0, 0, pl.ds(c * block_k, block_k)][None, :]
+            s = jax.lax.dot_general(
+                q_j, k_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + b_c
+            if causal:
+                qpos = (j * block_q + offset
+                        + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (block_q, block_k), 0))
+                kpos = (c * block_k
+                        + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (block_q, block_k), 1))
+                keep = kpos <= qpos
+                if window is not None:
+                    keep = keep & (qpos - kpos < window)
+                s = jnp.where(keep, s, NEG_INF)
+            p = jnp.exp(s - lse_j)
+            dp = jax.lax.dot_general(
+                do_j, v_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta_j) * scale
+            return dq_acc + jax.lax.dot_general(
+                ds.astype(k_c.dtype), k_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        dq_acc = jax.lax.fori_loop(
+            c_start, n_chunks, kloop,
+            jnp.zeros((block_q, q_j.shape[1]), jnp.float32))
+        dq_ref[0, 0, pl.ds(j * block_q, block_q), :] = dq_acc.astype(
+            dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_qblocks, body, 0)
+
+
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                    bias_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale,
+                    causal, window, block_q, block_k, sk_orig, sq_orig,
+                    n_qblocks, group):
+    """dk/dv for one (batch, k-block, q-head): accumulation is BLOCK-LOCAL
+    ([block_k, D] scratch) instead of the old whole-[Sk, D] scratch that
+    overflowed scoped vmem past ~6k tokens. Grid order (B, kb, H) revisits
+    the (kb, kv-head) output block consecutively across the GQA group."""
+    h = pl.program_id(2)
+    kb = pl.program_id(1)
+
+    @pl.when(h % group == 0)
     def _():
         dk_acc[:, :] = jnp.zeros_like(dk_acc)
         dv_acc[:, :] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0, :, :]           # [block_q, D]
-    do = do_ref[0, 0, :, :]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    s = s + bias_row
+    k_c = k_ref[0, 0, :, :]                     # [block_k, D]
+    v_c = v_ref[0, 0, :, :]
+    b_c = bias_ref[0, 0, :][None, :]
+    offset = sk_orig - sq_orig
+
     if causal:
-        qpos = (j * block_q
-                + jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
-                + (sk - sq_orig))
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
-        keep = kpos <= qpos
-        if window is not None:
-            keep = keep & (qpos - kpos < window)
-        s = jnp.where(keep, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)          # [bq, Sk] fp32
+        # first q block whose highest row can see this k block; with a
+        # window, the last q block still inside it
+        jq_start = jnp.maximum(kb * block_k - offset, 0) // block_q
+        if window is None:
+            jq_end = n_qblocks
+        else:
+            hi = (kb + 1) * block_k - 1 + window - offset
+            jq_end = jnp.minimum(pl.cdiv(hi + 1, block_q), n_qblocks)
+    else:
+        jq_start, jq_end = 0, n_qblocks
 
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)             # [bq, Sk]
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)     # [bq, 1]
-    ds = p * (dp - delta)                               # [bq, Sk] fp32
+    def body(j, _):
+        q_j = q_ref[0, 0, pl.ds(j * block_q, block_q), :]
+        do_j = do_ref[0, 0, pl.ds(j * block_q, block_q), :]
+        lse_j = lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)][:, None]
+        delta_j = delta_ref[0, 0, 0, pl.ds(j * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(
+            q_j, k_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + b_c
+        if causal:
+            qpos = (j * block_q + offset
+                    + jax.lax.broadcasted_iota(jnp.int32,
+                                               (block_q, block_k), 0))
+            kpos = (kb * block_k
+                    + jax.lax.broadcasted_iota(jnp.int32,
+                                               (block_q, block_k), 1))
+            keep = kpos <= qpos
+            if window is not None:
+                keep = keep & (qpos - kpos < window)
+            s = jnp.where(keep, s, NEG_INF)
+        p = jnp.exp(s - lse_j)                   # [block_q, block_k]
+        dv_acc[:, :] += jax.lax.dot_general(
+            p.astype(do_j.dtype), do_j, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do_j, v_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_j) * scale
+        dk_acc[:, :] += jax.lax.dot_general(
+            ds.astype(q_j.dtype), q_j, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
 
-    dq = jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+    jax.lax.fori_loop(jq_start, jq_end, body, 0)
 
-    dk_acc[:, :] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [Sk, D]
-    dv_acc[:, :] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [Sk, D]
-
-    @pl.when((h % group == group - 1) & (j == n_blocks - 1))
+    @pl.when(h % group == group - 1)
     def _():
         dk_ref[0, 0, :, :] = dk_acc[:, :].astype(dk_ref.dtype)
         dv_ref[0, 0, :, :] = dv_acc[:, :].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, bias, do, scale, causal, window=None):
+def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, window=None):
+    """Two-kernel flash backward (the standard schedule): a dq kernel
+    (q outer, k chunks inner) and a dkv kernel (k-block outer, q chunks
+    inner, block-local fp32 accumulators). Softmax replays from the saved
+    logsumexp; delta = rowsum(do*o) precomputes in XLA. Replaces a
+    single-kernel design whose [Sk, D] fp32 dk/dv scratch overflowed the
+    16MB scoped vmem at the grounded train length (Sq = 4096+3420)."""
     B, Sq, H, D = q.shape
     _, Sk, Hkv, _ = k.shape
     G = H // Hkv
 
-    # VMEM: 4 fp32 [block_q, Sk] temporaries + 2 fp32 [Sk, D] accumulators +
-    # pipelined k/v/dk/dv [Sk, D] refs must fit 16MB
-    budget_rows = max(32, (4 * 1024 * 1024) // (Sk * 16))
-    block_q = min(BLOCK_Q, budget_rows // 8 * 8, -(-Sq // 8) * 8)
-    padded = -(-Sq // block_q) * block_q
-    pad = padded - Sq
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        do = jnp.pad(do, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    Sq_p = q.shape[1]
-    n_blocks = Sq_p // block_q
+    block_q = min(128, -(-Sq // 8) * 8)
+    block_k = 256
+    Sq_p = -(-Sq // block_q) * block_q
+    Sk_p = -(-Sk // block_k) * block_k
 
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
+    # delta [B, H, Sq] in fp32 — one fused elementwise+reduce in XLA
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1).transpose(0, 2, 1)
+
+    qpad, kpad = Sq_p - Sq, Sk_p - Sk
+    if qpad:
+        q = jnp.pad(q, ((0, 0), (0, qpad), (0, 0), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, qpad), (0, 0), (0, 0)))
+        # +inf lse ⇒ replayed p == 0 for padded rows: they contribute
+        # nothing to dk/dv and their dq is cleanly zero
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, qpad)),
+                      constant_values=jnp.inf)
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, qpad)))
+    if kpad:
+        k = jnp.pad(k, ((0, 0), (0, kpad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, kpad), (0, 0), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, kpad)), constant_values=NEG_INF)
+
+    qt = q.transpose(0, 2, 1, 3)    # [B, H, Sq_p, D]
+    kt = k.transpose(0, 2, 1, 3)    # [B, Hkv, Sk_p, D]
     vt = v.transpose(0, 2, 1, 3)
     dot = do.transpose(0, 2, 1, 3)
+    bias3 = bias[:, None, :]
+    lse4 = lse[:, :, None, :]       # [B, H, 1, Sq_p] — TPU block alignment
+    delta4 = delta[:, :, None, :]
+    n_qblocks = Sq_p // block_q
+    n_kblocks = Sk_p // block_k
+    interp = jax.default_backend() != "tpu"
 
-    kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                               block_q=block_q, sk=Sk, sq_orig=Sq,
-                               n_blocks=n_blocks, group=G, window=window)
-    dq, dk, dv = pl.pallas_call(
-        kernel,
-        grid=(B, H, n_blocks),
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          window=window, block_q=block_q, block_k=block_k,
+                          sk_orig=Sk, sq_orig=Sq, n_qblocks=n_qblocks),
+        grid=(B, H),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h, j: (b, h // G, 0, 0)),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h, j: (b, h // G, 0, 0)),
-            pl.BlockSpec((1, 1, Sk), lambda b, h, j: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Sq_p), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Sq_p), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sk_p, D), lambda b, h: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Sk_p, D), lambda b, h: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Sk_p), lambda b, h: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
+        interpret=interp,
+    )(qt, dot, lse4, delta4, kt, vt, bias3)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
+                          window=window, block_q=block_q, block_k=block_k,
+                          sk_orig=Sk, sq_orig=Sq, n_qblocks=n_qblocks,
+                          group=G),
+        grid=(B, n_kblocks, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Sq_p, D), lambda b, kb, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sq_p, D), lambda b, kb, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Sq_p),
+                         lambda b, kb, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Sq_p),
+                         lambda b, kb, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, kb, h: (b, h // G, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, kb, h: (b, h // G, kb, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, kb, h: (b, 0, kb)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h, j: (b, h // G, 0, 0)),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h, j: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, kb, h: (b, h // G, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, kb, h: (b, h // G, kb, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, Sk, D), k.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk_p, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk_p, D), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Sk, D), jnp.float32),
-            pltpu.VMEM((Sk, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
         ],
-        interpret=jax.default_backend() != "tpu",
-    )(qt, kt, vt, bias[:, None, :], dot)
+        interpret=interp,
+    )(qt, dot, lse4, delta4, kt, vt, bias3)
+
     dq = dq.transpose(0, 2, 1, 3)
-    if pad:
+    dk = dk.transpose(0, 2, 1, 3)
+    dv = dv.transpose(0, 2, 1, 3)
+    if qpad:
         dq = dq[:, :Sq]
-    return dq, dk.transpose(0, 2, 1, 3), dv.transpose(0, 2, 1, 3)
+    if kpad:
+        dk = dk[:, :Sk]
+        dv = dv[:, :Sk]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_mha_core(q, k, v, bias, causal, scale, bounded, window):
-    return _flash_fwd(q, k, v, bias, scale, causal, bounded, window)
+    out, _ = _flash_fwd(q, k, v, bias, scale, causal, bounded, window)
+    return out
 
 
 def _core_fwd(q, k, v, bias, causal, scale, bounded, window):
-    return (_flash_fwd(q, k, v, bias, scale, causal, bounded, window),
-            (q, k, v, bias))
+    out, lse = _flash_fwd(q, k, v, bias, scale, causal, bounded, window)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _core_bwd(causal, scale, bounded, window, residuals, g):
-    # backward always recomputes with the true row max — softmax is
-    # offset-invariant, so the gradients match the bounded forward exactly
-    q, k, v, bias = residuals
-    dq, dk, dv = _flash_bwd(q, k, v, bias, g, scale, causal, window)
+    # softmax replays from the saved logsumexp — identical in bounded and
+    # full modes (softmax offset-invariance)
+    q, k, v, bias, o, lse = residuals
+    dq, dk, dv = _flash_bwd(q, k, v, bias, o, lse, g, scale, causal, window)
     return dq, dk, dv, jnp.zeros_like(bias)
 
 

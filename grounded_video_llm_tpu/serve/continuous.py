@@ -1,0 +1,253 @@
+"""Slot-level continuous batching: admit new prefills into a running decode
+pool.
+
+The dynamic-batching scheduler (serve/scheduler.py) coalesces requests into
+batches, but a batch then decodes in lockstep — a 64-token answer waits for
+the 2048-token answer sharing its batch. Continuous batching instead keeps a
+fixed pool of B decode slots over ONE shared quantized KV cache and:
+
+  * prefills each arriving request alone (a batch-1 compiled program),
+    INSERTS its cache rows into a free slot, and
+  * decodes the whole pool in jitted chunks of `chunk` steps with per-row
+    positions, per-row cache-slot writes (ops/cache_write scatter kernels —
+    the per-row-index write that batch serving's shared-index write cannot
+    do), and per-row EOS retirement (finished slots idle via decode_step's
+    `active` mask and free immediately).
+
+TPU-static-shape notes: everything is fixed-shape — the pool size, the cache
+max_len, the chunk length, and the prompt bucket (prompts left-pad to
+`prompt_len`). One compile for prefill, one for insert, one for the decode
+chunk; admission and retirement are host-side bookkeeping between chunk
+dispatches. On a single chip prefill and decode serialize, so admission
+happens between chunks (chunked interleave); the win over lockstep batching
+is slot-level occupancy under ragged output lengths, not overlap.
+
+Requires quantized serving params (serve/quantize.py) — the pool cache is
+the int8 QuantKVCache.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import VLMConfig
+from ..models import llm as llm_mod
+from ..models import vlm
+from .generate import sample_logits
+
+
+class PoolState(NamedTuple):
+    cache: llm_mod.QuantKVCache     # [L, B_pool, ...]
+    valid: jnp.ndarray              # [B_pool, max_len] bool
+    positions: jnp.ndarray          # [B_pool] next position id
+    cur_token: jnp.ndarray          # [B_pool] last sampled token
+    active: jnp.ndarray             # [B_pool] bool
+    rng: jax.Array
+
+
+class Request(NamedTuple):
+    input_ids: np.ndarray           # [S] left-padded, one IMAGE_TOKEN_INDEX
+    attn_mask: np.ndarray           # [S]
+    spatial_pixels: np.ndarray      # [num_segs, 336, 336, 3]
+    temporal_pixels: np.ndarray     # [num_frames, 224, 224, 3]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
+def _prefill_one(params, cfg: VLMConfig, input_ids, attn_mask, spatial,
+                 temporal, max_len: int):
+    """Batch-1 multimodal prefill into a quantized row cache at pool size."""
+    video_features = vlm.encode_video(params, cfg, spatial[None], temporal[None])
+    embeds, _, mask = vlm.splice_multimodal(
+        input_ids[None], None, attn_mask[None], video_features,
+        params["llm"]["embed"])
+    S_full = embeds.shape[1]
+    skeleton = llm_mod.KVCache(
+        jnp.zeros((1, 1, max_len, 1, 1), jnp.bfloat16),
+        jnp.zeros((1, 1, max_len, 1, 1), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32))
+    logits, cache = llm_mod.prefill(params["llm"], cfg.llm, embeds, mask,
+                                    skeleton, quantize_cache=True)
+    valid = jnp.zeros((1, max_len), bool).at[:, :S_full].set(mask.astype(bool))
+    pos = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    return logits, cache, valid, pos
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _insert_row(state: PoolState, row_cache: llm_mod.QuantKVCache,
+                row_valid, row_pos, first_token, slot):
+    """Copy a prefilled request's cache/bookkeeping into pool slot `slot`."""
+    def put(pool_arr, row_arr):
+        return jax.lax.dynamic_update_slice(
+            pool_arr, row_arr, (0, slot) + (0,) * (pool_arr.ndim - 2))
+
+    cache = llm_mod.QuantKVCache(
+        put(state.cache.k, row_cache.k),
+        put(state.cache.k_scale, row_cache.k_scale),
+        put(state.cache.v, row_cache.v),
+        put(state.cache.v_scale, row_cache.v_scale),
+        jax.lax.dynamic_update_slice(state.cache.length, row_cache.length,
+                                     (slot,)))
+    return PoolState(
+        cache,
+        jax.lax.dynamic_update_slice(state.valid, row_valid, (slot, 0)),
+        jax.lax.dynamic_update_slice(state.positions, row_pos, (slot,)),
+        state.cur_token.at[slot].set(first_token),
+        state.active.at[slot].set(True),
+        state.rng)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "chunk", "temperature", "top_p",
+                              "do_sample", "eos_token_id", "pad_token_id"),
+    donate_argnums=1)
+def _decode_chunk(params, state: PoolState, cfg: VLMConfig, *, chunk: int,
+                  temperature: float, top_p, do_sample: bool,
+                  eos_token_id: int, pad_token_id: int):
+    """Run `chunk` pool-wide decode steps; returns (state, tokens [B, chunk])
+    with pad_token_id on inactive rows."""
+    B = state.cur_token.shape[0]
+
+    def body(i, carry):
+        st, out = carry
+        token_embeds = llm_mod.embed_lookup(
+            params["llm"]["embed"], st.cur_token)[:, None, :]
+        logits, cache, valid = llm_mod.decode_step(
+            params["llm"], cfg.llm, token_embeds, st.cache, st.valid,
+            st.positions, active=st.active)
+        rng, sub = jax.random.split(st.rng)
+        nxt = sample_logits(logits, sub, temperature, top_p, do_sample)
+        nxt = jnp.where(st.active, nxt, pad_token_id)
+        out = out.at[:, i].set(nxt)
+        active = st.active & (nxt != eos_token_id)
+        st = PoolState(cache, valid,
+                       st.positions + st.active.astype(jnp.int32),
+                       nxt, active, rng)
+        return st, out
+
+    out0 = jnp.full((B, chunk), pad_token_id, jnp.int32)
+    state, out = jax.lax.fori_loop(0, chunk, body, (state, out0))
+    return state, out
+
+
+class ContinuousServer:
+    """Synchronous continuous-batching loop over a fixed slot pool.
+
+    serve(requests) processes a request list to completion, admitting new
+    requests into slots as they free. A thread/queue front-end can wrap
+    serve()'s admission points the same way scheduler.Scheduler wraps the
+    batch engine."""
+
+    def __init__(self, params, cfg: VLMConfig, pool_size: int = 4,
+                 prompt_len: int = 64, max_new_tokens: int = 64,
+                 chunk: int = 8, temperature: float = 0.0,
+                 top_p: Optional[float] = None, do_sample: bool = False,
+                 eos_token_id: int = 2, pad_token_id: int = 0,
+                 seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.pool_size = pool_size
+        self.chunk = chunk
+        self.max_new_tokens = max_new_tokens
+        self.gen_kwargs = dict(temperature=temperature, top_p=top_p,
+                               do_sample=do_sample, eos_token_id=eos_token_id,
+                               pad_token_id=pad_token_id)
+        self.eos_token_id = eos_token_id
+        self.pad_token_id = pad_token_id
+        # pool max_len covers the longest spliced prompt + the token budget
+        self.max_len = (prompt_len - 1 + cfg.num_video_tokens
+                        + max_new_tokens + chunk)
+        self.state = self._init_state(seed)
+        self._slot_req: List[Optional[int]] = [None] * pool_size
+        self._slot_budget = [0] * pool_size
+
+    def _init_state(self, seed: int) -> PoolState:
+        lcfg = self.cfg.llm
+        B, M = self.pool_size, self.max_len
+        shape = (lcfg.num_layers, B, lcfg.num_kv_heads, lcfg.head_dim, M)
+        sshape = (lcfg.num_layers, B, lcfg.num_kv_heads, 1, M)
+        cache = llm_mod.QuantKVCache(
+            jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+            jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+            jnp.zeros((B,), jnp.int32))
+        return PoolState(cache, jnp.zeros((B, M), bool),
+                         jnp.zeros((B,), jnp.int32),
+                         jnp.zeros((B,), jnp.int32),
+                         jnp.zeros((B,), bool), jax.random.key(seed))
+
+    def serve(self, requests: List[Request]) -> List[np.ndarray]:
+        """→ per-request generated token arrays (EOS excluded)."""
+        results: List[Optional[np.ndarray]] = [None] * len(requests)
+        emitted: List[List[int]] = [[] for _ in requests]
+        pending = list(range(len(requests)))
+
+        while pending or any(r is not None for r in self._slot_req):
+            # ---- admission: fill free slots (prefill + insert) ----
+            for slot in range(self.pool_size):
+                if self._slot_req[slot] is None and pending:
+                    ridx = pending.pop(0)
+                    req = requests[ridx]
+                    logits, row_cache, row_valid, row_pos = _prefill_one(
+                        self.params, self.cfg, jnp.asarray(req.input_ids),
+                        jnp.asarray(req.attn_mask),
+                        jnp.asarray(req.spatial_pixels),
+                        jnp.asarray(req.temporal_pixels), self.max_len)
+                    self.state = self.state._replace(
+                        rng=jax.random.split(self.state.rng)[0])
+                    first = sample_logits(
+                        logits, jax.random.fold_in(self.state.rng, ridx),
+                        self.gen_kwargs["temperature"],
+                        self.gen_kwargs["top_p"],
+                        self.gen_kwargs["do_sample"])
+                    first_i = int(first[0])
+                    self._slot_req[slot] = ridx
+                    self._slot_budget[slot] = self.max_new_tokens - 1
+                    emitted[ridx].append(first_i)
+                    if (first_i == self.eos_token_id
+                            or self._slot_budget[slot] == 0):
+                        results[ridx] = self._finish(ridx, emitted)
+                        self._slot_req[slot] = None
+                        continue
+                    self.state = _insert_row(
+                        self.state, row_cache, row_valid, row_pos,
+                        jnp.asarray(first_i, jnp.int32),
+                        jnp.asarray(slot, jnp.int32))
+
+            if not any(r is not None for r in self._slot_req):
+                continue
+
+            # ---- one decode chunk over the pool ----
+            self.state, toks = _decode_chunk(
+                self.params, self.state, self.cfg, chunk=self.chunk,
+                **self.gen_kwargs)
+            toks = np.asarray(toks)
+
+            # ---- retirement ----
+            for slot in range(self.pool_size):
+                ridx = self._slot_req[slot]
+                if ridx is None:
+                    continue
+                # every token up to and including an EOS is real (the device
+                # only pads AFTER in-chunk EOS deactivation; the break below
+                # stops before any pads are read)
+                for t in toks[slot]:
+                    t = int(t)
+                    done = t == self.eos_token_id
+                    if not done:
+                        emitted[ridx].append(t)
+                        self._slot_budget[slot] -= 1
+                    if done or self._slot_budget[slot] <= 0:
+                        results[ridx] = self._finish(ridx, emitted)
+                        self._slot_req[slot] = None
+                        self.state = self.state._replace(
+                            active=self.state.active.at[slot].set(False))
+                        break
+        return [r if r is not None else np.zeros(0, np.int32)
+                for r in results]
+
+    def _finish(self, ridx: int, emitted) -> np.ndarray:
+        return np.asarray(emitted[ridx], np.int32)

@@ -1,0 +1,84 @@
+"""Continuous batching: slot pool greedy outputs must match per-request
+lockstep generation bit-for-bit (same model, same greedy decode), including
+mid-stream admission into freed slots."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grounded_video_llm_tpu.core.config import micro_vlm_config
+from grounded_video_llm_tpu.models import vlm
+from grounded_video_llm_tpu.serve.continuous import ContinuousServer, Request
+from grounded_video_llm_tpu.serve.generate import generate_tokens
+from grounded_video_llm_tpu.text.templates import IMAGE_TOKEN_INDEX
+
+EOS, PAD = 2, 0
+
+
+@pytest.fixture(scope="module")
+def micro_model():
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def _make_requests(cfg, n, S=10):
+    rng = np.random.default_rng(7)
+    reqs = []
+    for i in range(n):
+        ids = rng.integers(3, 50, size=(S,)).astype(np.int32)
+        ids[2] = IMAGE_TOKEN_INDEX
+        reqs.append(Request(
+            input_ids=ids,
+            attn_mask=np.ones((S,), np.int32),
+            spatial_pixels=rng.normal(size=(cfg.num_segs, 336, 336, 3)
+                                      ).astype(np.float32) * 0.1,
+            temporal_pixels=rng.normal(size=(cfg.num_frames, 224, 224, 3)
+                                       ).astype(np.float32) * 0.1,
+        ))
+    return reqs
+
+
+def _reference_greedy(params, cfg, req, max_new):
+    toks, length = generate_tokens(
+        params, cfg, jnp.asarray(req.input_ids[None]),
+        jnp.asarray(req.attn_mask[None]),
+        jnp.asarray(req.spatial_pixels[None]),
+        jnp.asarray(req.temporal_pixels[None]), jax.random.key(0),
+        max_new_tokens=max_new, temperature=0.0, do_sample=False,
+        eos_token_id=EOS, pad_token_id=PAD)
+    out = [int(t) for t in np.asarray(toks)[0][:int(length[0])]]
+    return np.asarray([t for t in out if t != EOS], np.int32)
+
+
+def test_continuous_matches_lockstep_greedy(micro_model):
+    """3 requests through a 2-slot pool == each request generated alone."""
+    cfg, params = micro_model
+    max_new = 6
+    reqs = _make_requests(cfg, 3)
+    server = ContinuousServer(params, cfg, pool_size=2, prompt_len=10,
+                              max_new_tokens=max_new, chunk=2,
+                              temperature=0.0, do_sample=False,
+                              eos_token_id=EOS, pad_token_id=PAD)
+    got = server.serve(reqs)
+    for i, req in enumerate(reqs):
+        want = _reference_greedy(params, cfg, req, max_new)
+        np.testing.assert_array_equal(got[i], want), i
+
+
+def test_pool_reuse_after_retirement(micro_model):
+    """A slot freed by one request must serve a later one uncorrupted
+    (second serve() call reuses the same pool state)."""
+    cfg, params = micro_model
+    reqs = _make_requests(cfg, 2)
+    server = ContinuousServer(params, cfg, pool_size=1, prompt_len=10,
+                              max_new_tokens=4, chunk=2,
+                              temperature=0.0, do_sample=False,
+                              eos_token_id=EOS, pad_token_id=PAD)
+    first = server.serve([reqs[0]])
+    second = server.serve([reqs[1]])
+    np.testing.assert_array_equal(
+        first[0], _reference_greedy(params, cfg, reqs[0], 4))
+    np.testing.assert_array_equal(
+        second[0], _reference_greedy(params, cfg, reqs[1], 4))

@@ -205,3 +205,21 @@ def test_remat_matches():
     l1 = llm_mod.forward_logits(params, cfg, embeds, remat=False)
     l2 = llm_mod.forward_logits(params, cfg, embeds, remat=True)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+
+def test_chunked_loss_matches_full():
+    """causal_lm_loss_from_hidden == logits+causal_lm_loss (chunk smaller
+    than, equal to, and larger than the sequence)."""
+    cfg = CFG_PHI
+    params = llm_mod.init_params(jax.random.key(3), cfg)
+    B, S = 2, 11
+    hidden = jax.random.normal(jax.random.key(4), (B, S, cfg.hidden_size))
+    labels = np.random.default_rng(0).integers(0, cfg.vocab_size, (B, S))
+    labels[:, :3] = -100
+    labels = jnp.asarray(labels, jnp.int32)
+    full = llm_mod.causal_lm_loss(
+        llm_mod.logits_from_hidden(params, hidden), labels)
+    for chunk in (4, 10, 16):
+        got = llm_mod.causal_lm_loss_from_hidden(params, hidden, labels,
+                                                 chunk=chunk)
+        np.testing.assert_allclose(float(got), float(full), rtol=1e-5)
