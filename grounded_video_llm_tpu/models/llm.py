@@ -512,19 +512,41 @@ def decode_step(
     # so a single shared-index dynamic_update_slice stays in place on the
     # loop-carried buffer.
     if quant:
-        from ..ops.cache_write import scatter_write_kv, scatter_write_scale
         from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
 
         kq, ksc = qkv_fn(new_ks)   # [L,B,Hkv,D] i8, [L,B,Hkv]
         vq, vsc = qkv_fn(new_vs)
-        adv = (jnp.ones((write_idx.shape[0],), jnp.int32) if active is None
-               else active.astype(jnp.int32))
-        new_cache = QuantKVCache(
-            scatter_write_kv(cache.k, kq, write_idx),
-            scatter_write_scale(cache.k_scale, ksc, write_idx),
-            scatter_write_kv(cache.v, vq, write_idx),
-            scatter_write_scale(cache.v_scale, vsc, write_idx),
-            cache.length + adv)
+        if active is None:
+            # batch serving: slot indices are uniform (left-padded prompts) —
+            # one shared-index dynamic_update_slice, in place on the loop
+            # carry, zero kernel-launch overhead
+            uidx = write_idx[0]
+            new_cache = QuantKVCache(
+                jax.lax.dynamic_update_slice(
+                    cache.k, kq[..., None].astype(cache.k.dtype),
+                    (0, 0, 0, 0, uidx)),
+                jax.lax.dynamic_update_slice(
+                    cache.k_scale, ksc[:, :, :, None, None],
+                    (0, 0, 0, 0, uidx)),
+                jax.lax.dynamic_update_slice(
+                    cache.v, vq[..., None].astype(cache.v.dtype),
+                    (0, 0, 0, 0, uidx)),
+                jax.lax.dynamic_update_slice(
+                    cache.v_scale, vsc[:, :, :, None, None],
+                    (0, 0, 0, 0, uidx)),
+                cache.length + 1)
+        else:
+            # continuous-batching pool: rows decode at DIFFERENT slots — the
+            # Pallas scatter kernels rewrite only each row's 128-lane tile
+            from ..ops.cache_write import (scatter_write_kv,
+                                           scatter_write_scale)
+
+            new_cache = QuantKVCache(
+                scatter_write_kv(cache.k, kq, write_idx),
+                scatter_write_scale(cache.k_scale, ksc, write_idx),
+                scatter_write_kv(cache.v, vq, write_idx),
+                scatter_write_scale(cache.v_scale, vsc, write_idx),
+                cache.length + active.astype(jnp.int32))
     else:
         uni_idx = write_idx[0]
 

@@ -31,9 +31,13 @@ LANE = 128
 def _write_kernel(idx_ref, cache_ref, new_ref, out_ref):
     b = pl.program_id(1)
     lane = idx_ref[b] % LANE
-    tile = cache_ref[0, 0]                      # [Hkv, D, 128]
+    # int32 throughout: Mosaic only supports minor-dim insertion (the
+    # [..., None] broadcast) for 32-bit types
+    tile = cache_ref[0, 0].astype(jnp.int32)    # [Hkv, D, 128]
+    newv = new_ref[0, 0].astype(jnp.int32)
     pos = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 2)
-    out_ref[0, 0] = jnp.where(pos == lane, new_ref[0, 0][..., None], tile)
+    out_ref[0, 0] = jnp.where(pos == lane, newv[..., None], tile).astype(
+        out_ref.dtype)
 
 
 def _write_scale_kernel(idx_ref, cache_ref, new_ref, out_ref):
