@@ -47,21 +47,24 @@ BOUNDED_OFFSET = 40.0
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
-                causal, block_q, sk, sq_orig, n_blocks, bounded):
+                causal, block_q, sk, sq_orig, n_blocks, bounded, has_bias):
     """One program = one (batch, q-head): loads K/V once, loops q blocks
     internally. Per-program work is n_blocks large matmuls, so the fixed
     per-program dispatch cost (~µs) amortizes — a (B, H, Sq/128) grid of tiny
     programs measured 3x slower on the same shapes."""
     k = k_ref[0, 0, :, :]          # [Sk, D]
     v = v_ref[0, 0, :, :]          # [Sk, D]
-    bias_row = bias_ref[0, 0, :][None, :]
+    bias_row = bias_ref[0, 0, :][None, :] if has_bias else None
 
     def body(j, _):
         q = q_ref[0, 0, pl.ds(j * block_q, block_q), :]   # [block_q, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [block_q, Sk]
-        s = s + bias_row
+        if has_bias:
+            # skipped for unmasked callers (the encoder): the add is a full
+            # VPU pass over every score tile (~0.5 ms/layer at 72 clips)
+            s = s + bias_row
         if causal:
             qpos = (j * block_q
                     + jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
@@ -170,7 +173,8 @@ def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
-def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None):
+def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None,
+               has_bias=True):
     """Internally works in [B, H, S, D] layout — Pallas TPU blocks must live in
     the last two dims (sublane x lane)."""
     B, Sq, H, D = q.shape
@@ -224,7 +228,8 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None):
     else:
         kernel = functools.partial(_fwd_kernel, scale=scale, causal=False,
                                    block_q=block_q, sk=Sk, sq_orig=Sq,
-                                   n_blocks=n_blocks, bounded=bounded)
+                                   n_blocks=n_blocks, bounded=bounded,
+                                   has_bias=has_bias)
         kv_len = Sk
     out, lse = pl.pallas_call(
         kernel,
@@ -500,18 +505,20 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, window=None):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_mha_core(q, k, v, bias, causal, scale, bounded, window):
-    out, _ = _flash_fwd(q, k, v, bias, scale, causal, bounded, window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_mha_core(q, k, v, bias, causal, scale, bounded, window, has_bias):
+    out, _ = _flash_fwd(q, k, v, bias, scale, causal, bounded, window,
+                        has_bias)
     return out
 
 
-def _core_fwd(q, k, v, bias, causal, scale, bounded, window):
-    out, lse = _flash_fwd(q, k, v, bias, scale, causal, bounded, window)
+def _core_fwd(q, k, v, bias, causal, scale, bounded, window, has_bias):
+    out, lse = _flash_fwd(q, k, v, bias, scale, causal, bounded, window,
+                          has_bias)
     return out, (q, k, v, bias, out, lse)
 
 
-def _core_bwd(causal, scale, bounded, window, residuals, g):
+def _core_bwd(causal, scale, bounded, window, has_bias, residuals, g):
     # softmax replays from the saved logsumexp — identical in bounded and
     # full modes (softmax offset-invariance)
     q, k, v, bias, o, lse = residuals
@@ -547,4 +554,4 @@ def flash_mha(q, k, v, *, causal: bool = False,
     else:
         bias = jnp.where(mask.astype(bool), 0.0, NEG_INF).astype(jnp.float32)
     return _flash_mha_core(q, k, v, bias, causal, scale, bounded_softmax,
-                           sliding_window)
+                           sliding_window, mask is not None)
