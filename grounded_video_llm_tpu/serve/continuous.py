@@ -181,73 +181,158 @@ class ContinuousServer:
 
     def serve(self, requests: List[Request]) -> List[np.ndarray]:
         """→ per-request generated token arrays (EOS excluded)."""
-        results: List[Optional[np.ndarray]] = [None] * len(requests)
-        emitted: List[List[int]] = [[] for _ in requests]
-        pending = list(range(len(requests)))
+        results: dict = {}
+        emitted: dict = {i: [] for i in range(len(requests))}
+        pending = [(i, requests[i]) for i in range(len(requests))]
 
-        while pending or any(r is not None for r in self._slot_req):
-            # ---- admission: fill free slots (prefill + insert) ----
-            for slot in range(self.pool_size):
-                if self._slot_req[slot] is None and pending:
-                    ridx = pending.pop(0)
-                    req = requests[ridx]
-                    logits, row_cache, row_valid, row_pos = _prefill_one(
-                        self.params, self.cfg, jnp.asarray(req.input_ids),
-                        jnp.asarray(req.attn_mask),
-                        jnp.asarray(req.spatial_pixels),
-                        jnp.asarray(req.temporal_pixels), self.max_len)
-                    self.state = self.state._replace(
-                        rng=jax.random.split(self.state.rng)[0])
-                    first = sample_logits(
-                        logits, jax.random.fold_in(self.state.rng, ridx),
-                        self.gen_kwargs["temperature"],
-                        self.gen_kwargs["top_p"],
-                        self.gen_kwargs["do_sample"])
-                    first_i = int(first[0])
-                    self._slot_req[slot] = ridx
-                    self._slot_budget[slot] = self.max_new_tokens - 1
-                    emitted[ridx].append(first_i)
-                    if (first_i == self.eos_token_id
-                            or self._slot_budget[slot] == 0):
-                        results[ridx] = self._finish(ridx, emitted)
-                        self._slot_req[slot] = None
-                        continue
-                    self.state = _insert_row(
-                        self.state, row_cache, row_valid, row_pos,
-                        jnp.asarray(first_i, jnp.int32),
-                        jnp.asarray(slot, jnp.int32))
+        while pending or self._busy():
+            self._admit(pending, emitted, results)
+            if self._busy():
+                self._run_chunk(emitted, results)
+        return [results.get(i, np.zeros(0, np.int32))
+                for i in range(len(requests))]
 
-            if not any(r is not None for r in self._slot_req):
-                continue
+    # -- incremental engine (shared by serve() and ContinuousScheduler) ------
 
-            # ---- one decode chunk over the pool ----
-            self.state, toks = _decode_chunk(
-                self.params, self.state, self.cfg, chunk=self.chunk,
-                **self.gen_kwargs)
-            toks = np.asarray(toks)
+    def _busy(self) -> bool:
+        return any(r is not None for r in self._slot_req)
 
-            # ---- retirement ----
-            for slot in range(self.pool_size):
-                ridx = self._slot_req[slot]
-                if ridx is None:
+    def _admit(self, pending, emitted, results) -> None:
+        """Fill free slots from `pending` [(rid, Request), ...] (prefill +
+        insert); requests finishing on their first token resolve
+        immediately."""
+        for slot in range(self.pool_size):
+            if self._slot_req[slot] is None and pending:
+                rid, req = pending.pop(0)
+                logits, row_cache, row_valid, row_pos = _prefill_one(
+                    self.params, self.cfg, jnp.asarray(req.input_ids),
+                    jnp.asarray(req.attn_mask),
+                    jnp.asarray(req.spatial_pixels),
+                    jnp.asarray(req.temporal_pixels), self.max_len)
+                self.state = self.state._replace(
+                    rng=jax.random.split(self.state.rng)[0])
+                first = sample_logits(
+                    logits, jax.random.fold_in(self.state.rng, rid),
+                    self.gen_kwargs["temperature"],
+                    self.gen_kwargs["top_p"],
+                    self.gen_kwargs["do_sample"])
+                first_i = int(first[0])
+                self._slot_req[slot] = rid
+                self._slot_budget[slot] = self.max_new_tokens - 1
+                emitted[rid].append(first_i)
+                if (first_i == self.eos_token_id
+                        or self._slot_budget[slot] == 0):
+                    results[rid] = self._finish(rid, emitted)
+                    self._slot_req[slot] = None
                     continue
-                # every token up to and including an EOS is real (the device
-                # only pads AFTER in-chunk EOS deactivation; the break below
-                # stops before any pads are read)
-                for t in toks[slot]:
-                    t = int(t)
-                    done = t == self.eos_token_id
-                    if not done:
-                        emitted[ridx].append(t)
-                        self._slot_budget[slot] -= 1
-                    if done or self._slot_budget[slot] <= 0:
-                        results[ridx] = self._finish(ridx, emitted)
-                        self._slot_req[slot] = None
-                        self.state = self.state._replace(
-                            active=self.state.active.at[slot].set(False))
-                        break
-        return [r if r is not None else np.zeros(0, np.int32)
-                for r in results]
+                self.state = _insert_row(
+                    self.state, row_cache, row_valid, row_pos,
+                    jnp.asarray(first_i, jnp.int32),
+                    jnp.asarray(slot, jnp.int32))
+
+    def _run_chunk(self, emitted, results) -> None:
+        """One jitted decode chunk over the pool + host-side retirement."""
+        self.state, toks = _decode_chunk(
+            self.params, self.state, self.cfg, chunk=self.chunk,
+            **self.gen_kwargs)
+        toks = np.asarray(toks)
+        for slot in range(self.pool_size):
+            rid = self._slot_req[slot]
+            if rid is None:
+                continue
+            # every token up to and including an EOS is real (the device
+            # only pads AFTER in-chunk EOS deactivation; the break below
+            # stops before any pads are read)
+            for t in toks[slot]:
+                t = int(t)
+                done = t == self.eos_token_id
+                if not done:
+                    emitted[rid].append(t)
+                    self._slot_budget[slot] -= 1
+                if done or self._slot_budget[slot] <= 0:
+                    results[rid] = self._finish(rid, emitted)
+                    self._slot_req[slot] = None
+                    self.state = self.state._replace(
+                        active=self.state.active.at[slot].set(False))
+                    break
 
     def _finish(self, ridx: int, emitted) -> np.ndarray:
         return np.asarray(emitted[ridx], np.int32)
+
+
+class ContinuousScheduler:
+    """Threaded front-end over ContinuousServer: submit() returns a Future;
+    the scheduler thread admits queued requests into the pool between decode
+    chunks — the continuous-batching analogue of scheduler.Scheduler's
+    lockstep batching."""
+
+    def __init__(self, server: ContinuousServer):
+        import queue
+        import threading
+
+        self.server = server
+        self._queue: "queue.Queue" = queue.Queue()
+        self._futures: dict = {}
+        self._emitted: dict = {}
+        self._results: dict = {}
+        self._next_rid = 0
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: Request):
+        from concurrent.futures import Future
+
+        fut = Future()
+        self._queue.put((req, fut))
+        return fut
+
+    def shutdown(self, wait: bool = True) -> None:
+        self._running = False
+        self._queue.put(None)
+        if wait:
+            self._thread.join(timeout=120)
+
+    def _drain(self, pending, block: bool) -> bool:
+        import queue as queue_mod
+
+        try:
+            item = self._queue.get(timeout=0.05 if block else 0.0)
+        except queue_mod.Empty:
+            return True
+        if item is None:
+            return False
+        req, fut = item
+        rid = self._next_rid
+        self._next_rid += 1
+        self._futures[rid] = fut
+        self._emitted[rid] = []
+        pending.append((rid, req))
+        return True
+
+    def _loop(self) -> None:
+        pending: list = []
+        alive = True
+        while self._running and alive:
+            # block for work only when fully idle
+            alive = self._drain(pending, block=not (pending
+                                                    or self.server._busy()))
+            while alive and not self._queue.empty():
+                alive = self._drain(pending, block=False)
+            if not (pending or self.server._busy()):
+                continue
+            try:
+                self.server._admit(pending, self._emitted, self._results)
+                if self.server._busy():
+                    self.server._run_chunk(self._emitted, self._results)
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for rid, fut in list(self._futures.items()):
+                    if not fut.done():
+                        fut.set_exception(e)
+                self._futures.clear()
+                continue
+            for rid in list(self._results):
+                fut = self._futures.pop(rid, None)
+                if fut is not None and not fut.done():
+                    fut.set_result(self._results.pop(rid))
+                self._emitted.pop(rid, None)

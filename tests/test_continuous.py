@@ -82,3 +82,25 @@ def test_pool_reuse_after_retirement(micro_model):
         first[0], _reference_greedy(params, cfg, reqs[0], 4))
     np.testing.assert_array_equal(
         second[0], _reference_greedy(params, cfg, reqs[1], 4))
+
+
+def test_threaded_scheduler_matches_reference(micro_model):
+    """Futures submitted concurrently through ContinuousScheduler resolve to
+    the same greedy outputs as standalone generation."""
+    from grounded_video_llm_tpu.serve.continuous import ContinuousScheduler
+
+    cfg, params = micro_model
+    reqs = _make_requests(cfg, 3)
+    server = ContinuousServer(params, cfg, pool_size=2, prompt_len=10,
+                              max_new_tokens=5, chunk=2,
+                              temperature=0.0, do_sample=False,
+                              eos_token_id=EOS, pad_token_id=PAD)
+    sched = ContinuousScheduler(server)
+    try:
+        futs = [sched.submit(r) for r in reqs]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        sched.shutdown()
+    for req, out in zip(reqs, outs):
+        want = _reference_greedy(params, cfg, req, 5)
+        np.testing.assert_array_equal(out, want)
