@@ -28,6 +28,7 @@ Benchmark videos are synthesized once into .bench_cache/ (24s, 640x360,
 30fps, moving shapes — no external assets; zero egress environment).
 """
 
+import functools
 import json
 import os
 import sys
@@ -133,9 +134,15 @@ def main():
             quantize_llm_for_serving
 
         params = dict(params)
-        params["llm"] = jax.jit(quantize_llm_for_serving,
-                                donate_argnums=0)(params["llm"])
+        # W8A8 prefill only under the full-int8 mode (QUANTIZE_ENCODERS):
+        # plain int8 stays weight-only (prefill dequantizes per-GEMM)
+        params["llm"] = jax.jit(
+            functools.partial(quantize_llm_for_serving,
+                              w8a8=QUANTIZE_ENCODERS),
+            donate_argnums=0)(params["llm"])
         mode = "weight-only int8 (per-out-channel scales)"
+        if QUANTIZE_ENCODERS:
+            mode += " + W8A8 prefill GEMMs"
         if QUANTIZE_ENCODERS:
             from grounded_video_llm_tpu.serve.quantize import (
                 quantize_clip_for_serving, quantize_video_encoder_for_serving)

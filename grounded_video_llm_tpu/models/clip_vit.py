@@ -105,10 +105,23 @@ def features(params, cfg: CLIPVisionConfig, pixels: jnp.ndarray) -> jnp.ndarray:
     x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"],
                    cfg.layer_norm_eps)
     n_used = cfg.num_layers + cfg.feature_layer + 1  # -2 → N-1 layers
-    layers = jax.tree_util.tree_map(lambda a: a[:n_used], params["layers"])
+    layers = params["layers"]
+    if n_used == cfg.num_layers:
+        def body(h, lp):
+            return _layer(h, lp, cfg), None
 
-    def body(h, lp):
-        return _layer(h, lp, cfg), None
+        x, _ = jax.lax.scan(body, x, layers)
+    else:
+        # early exit (penultimate tap): scan INDICES and gather each layer's
+        # weights per step — a tree_map slice a[:n_used] materializes a second
+        # full copy of 23/24 trunk layers (~580MB bf16, ~300MB int8) exactly
+        # like the InternVideo2 a[:39] bug (internvideo2.py:244-257)
+        def body(h, i):
+            lp = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                       keepdims=False),
+                layers)
+            return _layer(h, lp, cfg), None
 
-    x, _ = jax.lax.scan(body, x, layers)
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_used, dtype=jnp.int32))
     return x[:, 1:, :]

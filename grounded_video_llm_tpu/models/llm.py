@@ -112,22 +112,28 @@ _INT8_GEMM_MIN_ROWS = 256
 def _matmul_maybe_int8(x, kernel):
     """x [..., D] @ kernel, where kernel is a dense array or an int8
     {"q", "scale"} pair (serve/quantize.py): few-row GEMVs run the Pallas
-    dequant-in-VMEM kernel, large GEMMs dequantize-then-matmul (see
-    _INT8_GEMM_MIN_ROWS)."""
+    dequant-in-VMEM kernel; large GEMMs either dequantize-then-matmul
+    (weight-only semantics) or, when the kernel carries the "w8a8" opt-in
+    marker (quantize_llm_for_serving(w8a8=True) — the engine's "int8_full"
+    mode), run W8A8 with dynamic per-row activation quantization on the int8
+    MXU (~1.25x measured on prefill; a further accuracy approximation)."""
     if isinstance(kernel, dict):
         lead = x.shape[:-1]
         rows = 1
         for d in lead:
             rows *= d
         if rows >= _INT8_GEMM_MIN_ROWS:
-            # W8A8: dynamic per-row activation int8 + int8xint8 MXU dot —
-            # faster than dequantize-then-bf16 on the compute-bound prefill
-            # GEMMs (int8 MXU ~1.5x bf16 at these shapes, microbench; in-situ
-            # gain smaller but real). Serving-only approximation: the int8
-            # params only exist under serve/quantize.py's opt-in.
-            from ..ops.int8_matmul import dynamic_int8_matmul
+            if "w8a8" in kernel:
+                from ..ops.int8_matmul import dynamic_int8_matmul
 
-            return dynamic_int8_matmul(x, kernel["q"], kernel["scale"])
+                return dynamic_int8_matmul(x, kernel["q"], kernel["scale"])
+            # weight-only: dequantize the weight once (fused by XLA into the
+            # matmul's operand stream) and run the bf16 MXU — compute-bound
+            # at these row counts, so int8 streaming buys nothing
+            w = kernel["q"].astype(x.dtype) * kernel["scale"].astype(
+                x.dtype)[..., None, :]
+            return jnp.matmul(x, w, preferred_element_type=jnp.float32
+                              ).astype(x.dtype)
         from ..ops.int8_matmul import int8_matmul
 
         flat = x.reshape(-1, x.shape[-1])
@@ -404,6 +410,15 @@ def decode_step(
     growing past max_len. None → all rows active (batch serving)."""
     B = token_embeds.shape[0]
     quant = isinstance(cache, QuantKVCache)
+    if active is not None and not quant:
+        # the bf16 cache write below is a single shared-slot
+        # dynamic_update_slice (uniform lengths, batch serving); ragged
+        # per-row slots (continuous batching) are only supported by the
+        # quantized scatter-write path — a shared-index write would silently
+        # corrupt rows at other slots
+        raise NotImplementedError(
+            "decode_step(active=...) (continuous batching) requires a "
+            "QuantKVCache; the bf16 KVCache path writes one shared slot")
     max_len = cache.max_len if quant else cache.k.shape[2]
     cos, sin = llm_rope_tables(cfg, positions[:, None], seq_len_hint=max_len)
 

@@ -13,10 +13,20 @@ no materialized K/V head repeat.
 
 from __future__ import annotations
 
+import logging
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+# A Mosaic regression silently degrading every attention call to the XLA path
+# (2.5x slower) must not pass unnoticed: log loudly once, and let strict
+# environments (benches, kernel CI) turn the fallback into a hard error.
+_STRICT_FLASH = os.environ.get("GVLLM_STRICT_FLASH", "0") == "1"
+_fallback_logged = False
 
 
 def _flash_available() -> bool:
@@ -54,8 +64,16 @@ def mha(
             return flash_mha(q, k, v, causal=causal, mask=mask, scale=scale,
                              bounded_softmax=bounded_softmax,
                              sliding_window=sliding_window)
-        except Exception:
-            pass  # fall through to XLA path
+        except Exception as e:
+            if _STRICT_FLASH:
+                raise
+            global _fallback_logged
+            if not _fallback_logged:
+                _fallback_logged = True
+                logger.error(
+                    "Pallas flash attention failed — falling back to the XLA "
+                    "path (~2.5x slower). Set GVLLM_STRICT_FLASH=1 to make "
+                    "this fatal. First failure: %r", e)
     return xla_mha(q, k, v, causal=causal, mask=mask, scale=scale,
                    sliding_window=sliding_window)
 

@@ -84,13 +84,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o = o / denom
+        # fully-masked query rows (left-padded prompts): emit exactly 0 with
+        # lse=+inf so (a) the residual stream stays finite — a NaN here turns
+        # into NaN k/v that contaminate VALID rows from the next layer on,
+        # since the additive key bias can't mask NaN — and (b) the backward
+        # replays p = exp(s - inf) = 0 for the whole row (same convention as
+        # the q-padding path in _flash_bwd).
+        if bounded:
+            dead = denom[:, :1] <= 0.0
+        else:
+            dead = (denom[:, :1] <= 0.0) | (m[:, :1] <= NEG_INF * 0.5)
+        o = jnp.where(dead, 0.0, o / jnp.where(dead, 1.0, denom))
         o_ref[0, 0, pl.ds(j * block_q, block_q), :] = o.astype(o_ref.dtype)
         # logsumexp per row — the backward's softmax replay key. The bounded
         # offset IS a valid m (softmax offset-invariance), so the formula is
         # identical in both modes.
-        lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)] = (
-            m[:, 0] + jnp.log(denom[:, 0]))
+        lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)] = jnp.where(
+            dead[:, 0], jnp.inf,
+            m[:, 0] + jnp.log(jnp.where(dead[:, 0], 1.0, denom[:, 0])))
         return 0
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
@@ -164,10 +175,16 @@ def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         l0 = jnp.zeros((block_q,), jnp.float32)
         o_acc, m_fin, l = jax.lax.fori_loop(c_start, n_chunks, kloop,
                                             (o0, m0, l0))
-        o = o_acc / l[:, None]
+        # l == 0 ⇔ every key of this query row was masked (left-padded pad
+        # rows): o_acc/l would be 0/0 = NaN, poisoning the residual stream
+        # for ALL rows at the next layer (additive bias can't mask NaN k/v).
+        # Emit 0 with lse=+inf so the backward replays p = 0 for the row.
+        dead = l <= 0.0
+        l_safe = jnp.where(dead, 1.0, l)
+        o = jnp.where(dead[:, None], 0.0, o_acc / l_safe[:, None])
         o_ref[0, 0, pl.ds(j * block_q, block_q), :] = o.astype(o_ref.dtype)
-        lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)] = (m_fin[:, 0]
-                                                         + jnp.log(l))
+        lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)] = jnp.where(
+            dead, jnp.inf, m_fin[:, 0] + jnp.log(l_safe))
         return 0
 
     jax.lax.fori_loop(0, n_blocks, body, 0)

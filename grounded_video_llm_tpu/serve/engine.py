@@ -44,18 +44,23 @@ class InferenceEngine:
                  quantize: Optional[str] = None):
         if quantize in ("int8", "int8_full"):
             # opt-in int8 serving (serve/quantize.py): merges any LoRA overlay
-            # first, then quantizes the decoder projections weight-only.
-            # "int8_full" additionally W8A8-quantizes both encoder trunks
-            # (dynamic per-row activations — ~1.5x on their compute-bound
-            # GEMMs, measured).
+            # first, then quantizes the decoder projections. "int8" is
+            # weight-only everywhere (prefill dequantizes per-GEMM, bf16 MXU).
+            # "int8_full" additionally (a) runs prefill-sized decoder GEMMs
+            # W8A8 — dynamic per-row activation int8, a further accuracy
+            # approximation — and (b) W8A8-quantizes both encoder trunks
+            # (~1.5x on their compute-bound GEMMs, measured).
+            import functools as _ft
+
             import jax as _jax
 
             from ..train.lora import merge_lora
             from .quantize import quantize_llm_for_serving
 
             params = dict(params)
-            params["llm"] = _jax.jit(quantize_llm_for_serving)(
-                merge_lora(params["llm"]))
+            params["llm"] = _jax.jit(_ft.partial(
+                quantize_llm_for_serving,
+                w8a8=quantize == "int8_full"))(merge_lora(params["llm"]))
             if quantize == "int8_full":
                 from .quantize import (quantize_clip_for_serving,
                                        quantize_video_encoder_for_serving)

@@ -26,12 +26,21 @@ def quantize_embed_int8(embed: jnp.ndarray) -> dict:
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
-def quantize_llm_for_serving(llm_params: dict) -> dict:
+def quantize_llm_for_serving(llm_params: dict, w8a8: bool = False) -> dict:
+    """Weight-only int8 by default. w8a8=True additionally tags each decoder
+    projection so prefill-sized GEMMs run W8A8 (dynamic per-row activation
+    int8 on the int8 MXU, ~1.25x measured on prefill) — an accuracy
+    approximation beyond weight-only, so it is a separate opt-in (the
+    engine's "int8_full" mode). The tag is a `"w8a8": None` dict entry: None
+    is an empty pytree subtree, so the marker lives in the treedef (static
+    under jit) rather than as an array leaf."""
     layers = dict(llm_params["layers"])
     assert "lora" not in layers, "merge_lora before quantizing"
     for name in QUANT_KERNELS:
         q, s = quantize_weights_int8(layers[name])  # [L,D,O] → int8 + [L,O]
         layers[name] = {"q": q, "scale": s}
+        if w8a8:
+            layers[name]["w8a8"] = None
     out = dict(llm_params)
     out["layers"] = layers
     q, s = quantize_weights_int8(llm_params["lm_head"])

@@ -114,3 +114,48 @@ def test_bounded_softmax_matches_full():
 
     g = jax.grad(loss)((q, k, v))
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in g)
+
+
+@pytest.mark.parametrize("bounded", [False, True])
+def test_left_padded_fully_masked_rows_finite(bounded):
+    """Left-padded prompts make PAD query rows fully masked (every key they
+    may attend is masked). The kernel must emit exactly 0 for those rows —
+    a NaN there becomes the row's k/v at the NEXT layer and poisons every
+    valid row from layer 2 on (additive key bias can't mask NaN). Regression
+    test for the l==0 → 0/0 normalization bug."""
+    B, S, H, D = 2, 64, 2, 16
+    pad = 9
+    mask = jnp.asarray(
+        np.concatenate([np.zeros((B, pad)), np.ones((B, S - pad))], axis=1),
+        jnp.int32)
+
+    def two_layer(q, k, v, causal):
+        h = flash_mha(q, k, v, causal=causal, mask=mask,
+                      bounded_softmax=bounded and not causal)
+        # reuse the attention output as next-layer q/k/v (the residual-stream
+        # contamination path)
+        return flash_mha(h, h, h, causal=causal, mask=mask,
+                         bounded_softmax=bounded and not causal)
+
+    q, k, v = _rand((B, S, H, D)), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+    for causal in (False, True):
+        out = np.asarray(two_layer(q, k, v, causal))
+        assert np.all(np.isfinite(out)), f"NaN/Inf at causal={causal}"
+        if causal:
+            # pad rows (qpos < pad) are fully masked → exactly 0
+            np.testing.assert_array_equal(out[:, :pad], 0.0)
+        # valid rows must match the XLA reference through both layers
+        h_x = xla_mha(q, k, v, causal=causal, mask=mask)
+        want = xla_mha(h_x, h_x, h_x, causal=causal, mask=mask)
+        np.testing.assert_allclose(out[:, pad:], np.asarray(want)[:, pad:],
+                                   rtol=2e-3, atol=2e-4)
+
+        # backward: gradients w.r.t. q/k/v stay finite (the saved lse for
+        # dead rows must replay p == 0, not exp(+inf))
+        def loss(args):
+            qq, kk, vv = args
+            return jnp.sum(two_layer(qq, kk, vv, causal) ** 2)
+
+        g = jax.grad(loss)((q, k, v))
+        for a in g:
+            assert bool(jnp.all(jnp.isfinite(a)))

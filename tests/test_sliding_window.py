@@ -60,10 +60,17 @@ def test_flash_window_matches_xla(window, sq, sk):
     mask = jnp.ones((B, sk), jnp.int32).at[0, :2].set(0)  # left padding
     got = flash_mha(q, k, v, causal=True, mask=mask, sliding_window=window)
     want = xla_mha(q, k, v, causal=True, mask=mask, sliding_window=window)
-    # rows whose keys are ALL masked (padding ∩ window) are garbage in both
-    # implementations — compare only rows with at least one attendable key
+    # rows whose keys are ALL masked (padding ∩ window): the flash kernel
+    # emits exactly 0 (the XLA path emits a finite uniform average) — value
+    # comparison is only meaningful on rows with ≥1 attendable key, but the
+    # flash output must be FINITE everywhere (a NaN here poisons the whole
+    # residual stream at the next layer)
+    assert np.all(np.isfinite(np.asarray(got)))
     qpos = np.arange(sq) + (sk - sq)
     ok_rows = qpos >= 2  # rows attending ≥1 unpadded key for batch 0
+    dead_rows = ~ok_rows
+    if dead_rows.any():
+        np.testing.assert_array_equal(np.asarray(got[0, dead_rows]), 0.0)
     np.testing.assert_allclose(np.asarray(got[0, ok_rows]),
                                np.asarray(want[0, ok_rows]),
                                rtol=1e-5, atol=1e-5)
