@@ -319,17 +319,43 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return total / count
 
 
+def _chunk_logits_sharding(shape, mesh):
+    """Explicit sharding for the [B, chunk, V] chunk logits under SPMD:
+    batch over (data, fsdp), vocab over tensor (each axis only when it
+    divides). Without this the partitioner sees a batch-sharded producer
+    (the take_along_axis scatter in the CE backward) and a vocab-sharded
+    consumer (log_softmax's add) and resolves the conflict by REPLICATING
+    the logits-sized tensor — the 'Involuntary full rematerialization'
+    SPMD warning; at the flagship vocab that is ~1GB of collective traffic
+    per chunk per step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    bs = sizes.get("data", 1) * sizes.get("fsdp", 1)
+    ts = sizes.get("tensor", 1)
+    spec = [None] * len(shape)
+    if bs > 1 and shape[0] % bs == 0:
+        spec[0] = ("data", "fsdp")
+    if ts > 1 and shape[-1] % ts == 0:
+        spec[-1] = "tensor"
+    return NamedSharding(mesh, P(*spec))
+
+
 def causal_lm_loss_from_hidden(params, hidden: jnp.ndarray,
                                labels: jnp.ndarray,
                                ignore_index: int = -100,
-                               chunk: int = 1024) -> jnp.ndarray:
+                               chunk: int = 1024,
+                               mesh=None) -> jnp.ndarray:
     """Sequence-chunked shifted CE: identical math to
     logits_from_hidden + causal_lm_loss, but the fp32 [S, V] logits never
     materialize — the grounded train step's full-size logits are
     2 x 930MB f32 at S=7.5k x V=32k, the allocation that pushed the step
     out of HBM. Each chunk projects [chunk, V] (≈130MB), takes its CE
     partial sums under jax.checkpoint (the backward recomputes the chunk's
-    logits instead of storing them), and the scan carries only scalars."""
+    logits instead of storing them), and the scan carries only scalars.
+
+    mesh: when training SPMD over a device mesh, pass it so the chunk
+    logits get an explicit sharding (see _chunk_logits_sharding)."""
     B, S, D = hidden.shape
     h = hidden[:, :-1]
     lab = labels[:, 1:]
@@ -347,6 +373,9 @@ def causal_lm_loss_from_hidden(params, hidden: jnp.ndarray,
         total, count = carry
         h_c, lab_c = xs
         logits = logits_from_hidden(params, h_c)       # [B, chunk, V] f32
+        if mesh is not None:
+            logits = jax.lax.with_sharding_constraint(
+                logits, _chunk_logits_sharding(logits.shape, mesh))
         valid = lab_c != ignore_index
         safe = jnp.where(valid, lab_c, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)

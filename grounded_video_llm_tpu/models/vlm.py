@@ -256,11 +256,15 @@ def splice_multimodal(
 def forward_loss(params, cfg: VLMConfig, batch: Batch,
                  remat: bool = False, freeze_encoders: bool = True,
                  lora_dropout: float = 0.0,
-                 dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                 dropout_rng: Optional[jax.Array] = None,
+                 mesh=None) -> jnp.ndarray:
     """Full multimodal forward → scalar CE loss (reference :598-614).
 
     lora_dropout + dropout_rng: training-only dropout on the LoRA branch
-    (reference llava_next_video.py:215, peft lora_dropout=0.05)."""
+    (reference llava_next_video.py:215, peft lora_dropout=0.05).
+
+    mesh: SPMD training — forwarded to the chunked CE so the chunk logits
+    get an explicit sharding (llm._chunk_logits_sharding)."""
     video_features = encode_video(params, cfg, batch.spatial_pixels,
                                   batch.temporal_pixels,
                                   freeze_encoders=freeze_encoders)
@@ -273,7 +277,8 @@ def forward_loss(params, cfg: VLMConfig, batch: Batch,
                                        dropout_rng=dropout_rng)
     # sequence-chunked CE: the full fp32 [S, V] logits (2 x 930MB at the
     # grounded length) never materialize — see causal_lm_loss_from_hidden
-    return llm_mod.causal_lm_loss_from_hidden(params["llm"], hidden, labels)
+    return llm_mod.causal_lm_loss_from_hidden(params["llm"], hidden, labels,
+                                              mesh=mesh)
 
 
 def embed_tokens(params, token_ids: jnp.ndarray) -> jnp.ndarray:

@@ -56,14 +56,41 @@ def single_device_mesh() -> Mesh:
     return build_mesh(devices=jax.devices()[:1], data=1, fsdp=1, tensor=1)
 
 
-def initialize_distributed() -> None:
+def initialize_distributed(strict: Optional[bool] = None) -> bool:
     """Multi-host init (the torchrun/NCCL-process-group equivalent, SURVEY
     §2.6): on TPU pods jax.distributed picks coordinator/rank from the
-    environment. Safe to call on single-host (no-op on failure)."""
+    environment (reference overwatch/overwatch.py:54-57 PartialState init).
+
+    Returns True when the distributed runtime is up. strict=None infers
+    intent: if a coordinator address is configured in the environment the
+    run MEANT to be multi-host, so failure raises instead of silently
+    degrading to a single-process run that would train on 1/N of the data;
+    without one, failure logs at INFO and returns False (plain single-host)."""
+    import logging
+    import os
+
+    log = logging.getLogger(__name__)
+    if strict is None:
+        strict = any(os.environ.get(v) for v in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS"))
     try:
         jax.distributed.initialize()
-    except Exception:
-        pass  # single-host / already initialized
+        log.info("jax.distributed up: process %d/%d",
+                 jax.process_index(), jax.process_count())
+        return True
+    except RuntimeError as e:
+        if "already initialized" in str(e):
+            return True
+        if strict:
+            raise
+        log.info("single-process run (jax.distributed: %s)", e)
+        return False
+    except Exception as e:
+        if strict:
+            raise
+        log.info("single-process run (jax.distributed: %s)", e)
+        return False
 
 
 def process_info():

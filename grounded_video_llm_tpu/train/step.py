@@ -74,7 +74,8 @@ def merge_params(a, b):
 
 def make_train_step(cfg: VLMConfig, tx, grad_accum: int = 1,
                     remat: bool = True, trainable_mask=None,
-                    lora_dropout: float = 0.0, dropout_seed: int = 0):
+                    lora_dropout: float = 0.0, dropout_seed: int = 0,
+                    mesh: Mesh | None = None):
     """Build the jitted train step.
 
     batch: vlm.Batch with leaves [B, ...] (grad_accum=1) or [A, B_micro, ...]
@@ -96,7 +97,7 @@ def make_train_step(cfg: VLMConfig, tx, grad_accum: int = 1,
         params = merge_params(trainable, frozen)
         return vlm.forward_loss(params, cfg, mb, remat=remat,
                                 lora_dropout=lora_dropout,
-                                dropout_rng=drop_rng)
+                                dropout_rng=drop_rng, mesh=mesh)
 
     def step_fn(state: TrainState, batch: vlm.Batch):
         step_rng = None
@@ -109,7 +110,7 @@ def make_train_step(cfg: VLMConfig, tx, grad_accum: int = 1,
             def lf(t, mb, r):
                 return vlm.forward_loss(t, cfg, mb, remat=remat,
                                         lora_dropout=lora_dropout,
-                                        dropout_rng=r)
+                                        dropout_rng=r, mesh=mesh)
         else:
             trainable, frozen = partition_params(state.params, trainable_mask)
 
@@ -162,13 +163,27 @@ def make_train_step(cfg: VLMConfig, tx, grad_accum: int = 1,
 def shard_batch(batch: vlm.Batch, mesh: Mesh, grad_accum: int = 1) -> vlm.Batch:
     """Place a host batch on the mesh: batch dim sharded over (data, fsdp)
     (pure-DP data layout; with grad_accum the microbatch axis leads and the
-    per-microbatch batch dim is axis 1)."""
+    per-microbatch batch dim is axis 1).
+
+    Single-process: a plain device_put scatter. Multi-process (TPU pod —
+    jax.distributed initialized, process_count > 1): each host holds only
+    ITS loader shard (data/loader.py shards the sampler by process), so the
+    global array assembles via jax.make_array_from_process_local_data — the
+    per-host-sharded-batch plan of SURVEY §2.5's DP row (the reference's
+    DistributedSampler + torchrun equivalent)."""
     axis = 1 if grad_accum > 1 else 0
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         spec = [None] * x.ndim
         if x.ndim > axis:
             spec[axis] = batch_spec()[0]
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        sharding = NamedSharding(mesh, P(*spec))
+        if multiprocess:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

@@ -92,7 +92,7 @@ class TrainingStrategy:
                                        grad_accum=self.grad_accum, remat=True,
                                        trainable_mask=_tm(self.labels),
                                        lora_dropout=self.stage.lora_dropout,
-                                       dropout_seed=seed)
+                                       dropout_seed=seed, mesh=self.mesh)
         self.metrics = Metrics(
             run_id=f"{stage_name}-{cfg.llm_name}", run_dir=run_dir,
             hparams={"stage": stage_name, "llm": cfg.llm_name,

@@ -185,3 +185,66 @@ def test_sharded_train_step_8dev():
     # second step runs from donated state
     new_state2, _ = step(new_state, batch)
     assert int(new_state2.step) == 2
+
+
+def test_shard_batch_multiprocess_routing(monkeypatch):
+    """Multi-host DP (SURVEY §2.5 DP row): with process_count > 1,
+    shard_batch must assemble the global batch from process-local loader
+    shards via jax.make_array_from_process_local_data instead of
+    device_put (which only works single-process). Process info is mocked —
+    one host can't run a real multi-process pod."""
+    cfg = micro_vlm_config()
+    mesh = build_mesh(data=2, fsdp=4)
+    batch = _make_batch(cfg, B=8)
+    n_leaves = len(jax.tree_util.tree_leaves(batch))
+
+    calls = []
+    real_put = jax.device_put
+
+    def fake_make(sharding, data):
+        calls.append(sharding)
+        # single-process stand-in: local data IS the global batch here
+        return real_put(data, sharding)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "make_array_from_process_local_data", fake_make)
+    out = shard_batch(batch, mesh)
+    assert len(calls) == n_leaves
+    # every leaf routed with the batch-dim spec over (data, fsdp)
+    for s in calls:
+        assert s.spec[0] == ("data", "fsdp")
+    # arrays land sharded exactly as the single-process path would place them
+    assert out.input_ids.sharding.spec[0] == ("data", "fsdp")
+
+    # single-process path unchanged: no make_array... calls
+    calls.clear()
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    shard_batch(batch, mesh)
+    assert calls == []
+
+
+def test_initialize_distributed_single_host(monkeypatch, caplog):
+    """No coordinator configured → failure degrades to single-process with a
+    log line; with a coordinator address set, the same failure must RAISE
+    (silent degradation would train on 1/N of the data)."""
+    from grounded_video_llm_tpu.parallel import mesh as mesh_mod
+
+    def boom():
+        raise RuntimeError("no coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert mesh_mod.initialize_distributed() is False
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    with pytest.raises(RuntimeError, match="no coordinator"):
+        mesh_mod.initialize_distributed()
+
+    # already-initialized is success, not failure
+    def already():
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    assert mesh_mod.initialize_distributed() is True

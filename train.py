@@ -63,7 +63,12 @@ def main():
                                                           build_tokenizer)
     from grounded_video_llm_tpu.core.config import (STAGE_PRESETS, vlm_config)
     from grounded_video_llm_tpu.data.datasets import DATASETS
+    from grounded_video_llm_tpu.parallel.mesh import initialize_distributed
     from grounded_video_llm_tpu.train.strategy import TrainingStrategy
+
+    # multi-host init BEFORE any jax device use (the torchrun equivalent,
+    # SURVEY §2.6); raises if a coordinator is configured but unreachable
+    initialize_distributed()
 
     if args.debug_tiny:
         from grounded_video_llm_tpu.core.config import micro_vlm_config
