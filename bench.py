@@ -48,8 +48,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", "6"))
 ENCODER_CHUNK = (int(os.environ["BENCH_CHUNK"])
                  if os.environ.get("BENCH_CHUNK") else None)
 N_E2E_BATCHES = 3
-QUANTIZE = True       # weight-only int8, per-out-channel scales (serve/quantize.py)
-QUANTIZE_CACHE = True  # int8 KV cache, per-position-head scales
+# BENCH_QUANT=0 → full-bf16 serving (the unquantized anchor figure; fits
+# batch ~2 on one chip — set BENCH_BATCH=2)
+QUANTIZE = os.environ.get("BENCH_QUANT", "1") == "1"
+QUANTIZE_CACHE = QUANTIZE  # int8 KV cache, per-position-head scales
 # W8A8 encoders (dynamic per-row activations): ~1.5x on the compute-bound
 # encoder GEMMs (int8 MXU, scripts/microbench_int8_gemm.py). BENCH_QUANT_ENC=0
 # to disable.
@@ -288,12 +290,15 @@ def main():
           f"{decode_s*1000/(DECODE_TOKENS-1):.2f} ms/tok)", file=sys.stderr)
 
     value = e2e_vps if e2e_vps is not None else device_vps
-    print(json.dumps({
+    record = {
         "metric": "e2e_videos_per_sec",
         "value": round(value, 4),
         "unit": "videos/sec",
         "vs_baseline": round(value / A100_BASELINE_VIDEOS_PER_SEC, 4),
-    }))
+    }
+    if not QUANTIZE:
+        record["mode"] = "bf16"  # unquantized anchor (BENCH_QUANT=0)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

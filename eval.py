@@ -1,0 +1,160 @@
+"""Accuracy gate: run the BASELINE.md benchmark metrics on real checkpoints.
+
+The north-star is throughput AT Charades-STA R1@0.5 parity (BASELINE.md).
+This driver is the gate that runs the day reference weights appear on disk:
+it loads them through models/convert + cli/model_loading.build_params,
+evaluates the requested benchmark through the serving engine, and emits the
+BASELINE-format metric JSON. Without the required weight files it exits with
+code 2 and a clear message — wire it into CI unconditionally; it self-gates.
+
+Matches the reference's checkpoint loading (inference.py:137-162) and the
+published metric rows (reference README.md:31-34).
+
+Examples:
+  # Charades-STA grounding (native annotation format: charades_sta_test.txt)
+  python eval.py --benchmark grounding --anno_format charades_sta \\
+      --anno_path charades_sta_test.txt --video_root videos/ \\
+      --pretrained_vision_proj_llm_path weights/phi/ \\
+      --pretrained_video_path weights/internvideo2.pt \\
+      --ckpt_path ckpt/sft_llava_next_video_phi3_mix_sft.pth
+
+  # same, int8-serving accuracy-neutrality check vs the bf16 run
+  python eval.py ... --quantize int8_full
+
+Annotation formats:
+  json          — list of {video, query|question, start, end, ...} dicts
+                  (the harness's native schema, serve/eval.py)
+  charades_sta  — the public "id start end##query" text format
+  jsonl         — one native dict per line
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--llm", default="phi3.5",
+                   choices=["phi3.5", "llama3", "vicuna"])
+    p.add_argument("--benchmark", default="grounding",
+                   choices=["grounding", "gqa", "mc"])
+    p.add_argument("--anno_path", required=True)
+    p.add_argument("--anno_format", default="json",
+                   choices=["json", "jsonl", "charades_sta"])
+    p.add_argument("--video_root", default="")
+    p.add_argument("--pretrained_video_path", default="")
+    p.add_argument("--pretrained_vision_proj_llm_path", default="")
+    p.add_argument("--ckpt_path", default="")
+    p.add_argument("--tokenizer_path", default="")
+    p.add_argument("--quantize", default="",
+                   choices=["", "int8", "int8_full"])
+    p.add_argument("--max_items", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--num_frames", type=int, default=96)
+    p.add_argument("--num_segs", type=int, default=12)
+    p.add_argument("--out", default="", help="also write metrics JSON here")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="skip the weights gate (synthetic smoke runs only)")
+    p.add_argument("--debug_tiny", action="store_true",
+                   help="micro model dims (CI smoke of the full driver path)")
+    return p.parse_args()
+
+
+def load_annotations(path: str, fmt: str):
+    if fmt == "json":
+        with open(path) as f:
+            return json.load(f)
+    if fmt == "jsonl":
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+    # charades_sta: "VIDEOID START END##query sentence"
+    items = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or "##" not in line:
+                continue
+            head, query = line.split("##", 1)
+            vid, start, end = head.split()
+            items.append({"video": vid + ".mp4", "query": query,
+                          "start": float(start), "end": float(end)})
+    return items
+
+
+def weights_present(args) -> bool:
+    """The gate: every weight source the reference load path uses
+    (inference.py:137-162) must exist."""
+    checks = [
+        (args.ckpt_path, os.path.exists),
+        (args.pretrained_video_path, os.path.exists),
+        (args.pretrained_vision_proj_llm_path, os.path.isdir),
+    ]
+    return all(path and ok(path) for path, ok in checks)
+
+
+def main():
+    args = parse_args()
+    if not weights_present(args) and not args.allow_random_weights:
+        print(json.dumps({
+            "status": "skipped",
+            "reason": "reference checkpoints not present on disk",
+            "required": {
+                "ckpt_path": args.ckpt_path or "(unset)",
+                "pretrained_video_path":
+                    args.pretrained_video_path or "(unset)",
+                "pretrained_vision_proj_llm_path":
+                    args.pretrained_vision_proj_llm_path or "(unset)",
+            }}))
+        sys.exit(2)
+
+    from grounded_video_llm_tpu.cli.model_loading import (build_params,
+                                                          build_tokenizer)
+    from grounded_video_llm_tpu.core.config import GenerateConfig, vlm_config
+    from grounded_video_llm_tpu.serve.engine import InferenceEngine
+    from grounded_video_llm_tpu.serve.eval import (eval_gqa, eval_grounding,
+                                                   eval_multiple_choice)
+
+    if args.debug_tiny:
+        from grounded_video_llm_tpu.core.config import micro_vlm_config
+
+        cfg = micro_vlm_config(args.llm)
+    else:
+        cfg = vlm_config(args.llm, stage="inference",
+                         num_frames=args.num_frames, num_segs=args.num_segs)
+    params = build_params(
+        cfg, weight_root=args.pretrained_vision_proj_llm_path or None,
+        video_encoder_path=args.pretrained_video_path or None,
+        stage_ckpt=args.ckpt_path or None)
+    tokenizer = build_tokenizer(cfg, args.tokenizer_path or None, expand=True)
+    engine = InferenceEngine(
+        params, cfg, tokenizer,
+        GenerateConfig(max_new_tokens=args.max_new_tokens, do_sample=False,
+                       temperature=0.0),
+        quantize=args.quantize or None)
+
+    annos = load_annotations(args.anno_path, args.anno_format)
+    runner = {"grounding": eval_grounding, "gqa": eval_gqa,
+              "mc": eval_multiple_choice}[args.benchmark]
+    metrics = runner(engine, annos, video_root=args.video_root,
+                     max_items=args.max_items, batch_size=args.batch_size)
+
+    result = {
+        "benchmark": args.benchmark,
+        "llm": args.llm,
+        "quantize": args.quantize or "bf16",
+        "n_items": min(len(annos), args.max_items or len(annos)),
+        "metrics": metrics,
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

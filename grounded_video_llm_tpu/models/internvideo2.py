@@ -133,7 +133,61 @@ def init_params(key: jax.Array, cfg: InternVideo2Config, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
+def _block_fused_int8(x, bp, cfg: InternVideo2Config):
+    """W8A8 serving block with fused Pallas GEMMs (ops/fused_block):
+    norm+quant+qkv+QK-RMSNorm in one program, proj/fc2 with in-kernel fp32
+    LayerScale + residual, fc1 with in-kernel exact GELU. Same quantization
+    semantics as the unfused W8A8 path (per-row dynamic activations,
+    per-out-channel weights); eliminates the per-pass HBM round-trips that
+    capped in-situ W8A8 at 1.08x (CLAUDE.md round-2 findings)."""
+    from ..ops.fused_block import (fused_norm_quant_gemm,
+                                   fused_quant_gemm_ls_residual)
+
+    B, S, D = x.shape
+    H = cfg.num_heads
+    Dh = cfg.head_dim
+    qn = jnp.stack([bp["q_norm_w"], bp["k_norm_w"]])
+    qkv = fused_norm_quant_gemm(
+        x, bp["norm1_w"], bp["qkv_kernel"]["q"], bp["qkv_kernel"]["scale"],
+        eps=cfg.rms_eps,
+        epilogue="qk_norm" if cfg.qk_normalization else "none",
+        qk_norm_w=qn)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, H, Dh)
+    k = k.reshape(B, S, H, Dh)
+    v = v.reshape(B, S, H, Dh)
+    attn = mha(q, k, v, causal=False,
+               bounded_softmax=cfg.qk_normalization).reshape(B, S, D)
+    x = fused_quant_gemm_ls_residual(
+        attn, bp["proj"]["kernel"]["q"], bp["proj"]["kernel"]["scale"],
+        bp["proj"]["bias"], bp["ls1"], x)
+    h = fused_norm_quant_gemm(
+        x, bp["norm2_w"], bp["fc1"]["kernel"]["q"],
+        bp["fc1"]["kernel"]["scale"], eps=cfg.rms_eps, epilogue="gelu",
+        bias=bp["fc1"]["bias"])
+    return fused_quant_gemm_ls_residual(
+        h, bp["fc2"]["kernel"]["q"], bp["fc2"]["kernel"]["scale"],
+        bp["fc2"]["bias"], bp["ls2"], x)
+
+
+def _fused_int8_ok(bp, cfg: InternVideo2Config) -> bool:
+    # Opt-in only: measured SLOWER than the unfused W8A8 path at the serving
+    # shape (108 vs 80 ms/block, microbench_iv2_block) — the Mosaic fp32
+    # VPU work (norm/quant/erf in-kernel) costs more than the HBM passes it
+    # saves; the trunk's binding constraint is the attention softmax VPU
+    # time, not inter-pass traffic. Kept for shapes/backends where the
+    # balance differs.
+    import os
+
+    return (os.environ.get("GVLLM_FUSED_IV2", "0") == "1"
+            and isinstance(bp.get("qkv_kernel"), dict)
+            and cfg.embed_dim % 128 == 0
+            and cfg.mlp_hidden % 512 == 0)
+
+
 def _block(x, bp, cfg: InternVideo2Config):
+    if _fused_int8_ok(bp, cfg):
+        return _block_fused_int8(x, bp, cfg)
     B, S, D = x.shape
     H = cfg.num_heads
     Dh = cfg.head_dim

@@ -482,9 +482,13 @@ def decode_step(
         from ..ops.int8_matmul import int8_matmul_layer
 
         attn_valid_i32 = attn_valid.astype(jnp.int32)
+        # W8A8 GEMVs under the int8_full opt-in (the "w8a8" treedef marker):
+        # skips the per-token bf16 conversion of 3.6GB of int8 weight tiles
+        use_w8a8 = "w8a8" in lay["qkv_kernel"]
 
         def mm(x2d, kern, li):
-            return int8_matmul_layer(x2d, kern["q"], kern["scale"], li)
+            return int8_matmul_layer(x2d, kern["q"], kern["scale"], li,
+                                     w8a8=use_w8a8)
 
         def body(x, xs_i):
             norm_in, norm_post, li = xs_i

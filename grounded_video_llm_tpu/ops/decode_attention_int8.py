@@ -38,8 +38,11 @@ from jax.experimental import pallas as pl
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
-# L-block for dequant temporaries ([hb, D|G, block_l] fp32 tiles ~1.6MB at
-# hb=8): whole-L conversion would hold 2x [hb, D, L] fp32 (≈22MB) in VMEM.
+# L-chunk width for the in-kernel int8→bf16 conversion feeding the MXU dots
+# (the bf16 copy is [hb, D, BLOCK_L] ≈ 0.8MB instead of a 5.5MB whole-block
+# copy). NOTE an L-gridded variant (one grid step per chunk, online-softmax
+# scratch) was tried and REVERTED: small chunk DMAs measured 374 GB/s vs the
+# whole-block layout's 515 (sweep_decode_attn).
 BLOCK_L = 512
 
 
@@ -54,38 +57,63 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, kn_ref, vn_ref,
             o_ref, *, scale, hb, block_l):
-    """All intermediates are ≤3D with the compute in the last two dims
-    (sublane×lane) — 4D broadcast-multiplies hit Mosaic's 2D-gather limit,
-    and 2D shapes keep full VPU width. The GQA group is a python unroll
-    (G=1 for phi3, 4 for llama).
+    """One program = one (batch, kv-head block) with the WHOLE cache block
+    resident in VMEM (big DMAs stream best: an L-gridded chunk variant
+    measured 374 vs 515 GB/s). The dots run on the MXU: each L-chunk of K/V
+    converts int8→bf16 ONCE (one VPU pass) and feeds a plain 2-D
+    dot_general — the previous VPU formulation (broadcast-multiply +
+    axis-reduce) paid ~3 full-tile VPU passes per side and bound the kernel
+    on the VPU, not the DMA.
 
-    Cache refs (kq/ks/vq/vs) may carry one or two leading singleton block
-    dims: (1, hb, ..) from the per-layer entry point, (1, 1, hb, ..) from the
-    stacked-cache layer-indexed entry point."""
+    Mosaic has no batched-dot lowering, so the per-head structure flattens
+    into standard matmuls: the caller passes K/V HEAD-FLAT ([hb*D, L], a
+    free reshape of the head-major layout) and
+      * scores = blockdiag(q) [hb, hb*D] @ K_flat [hb*D, L] — the block-
+        diagonal embedding zeroes cross-head terms (8x redundant MACs on an
+        otherwise-idle MXU);
+      * PV     = V_flat [hb*D, L] @ pv^T — via the A@B^T dot form → a
+        [hb*D, hb] tile whose (h-block, h) "diagonal" columns are the
+        outputs; a tiny masked reduce extracts them.
+    Per-position scales fold AFTER the dot on [hb, L] tiles (per-(head,
+    position) scales are constant over D, so they commute out of the
+    contraction). The GQA group is a python unroll (G=1 for phi3, 4 for
+    llama).
+
+    Cache refs (kq/vq) are [.., hb*D, L] with one or two leading singleton
+    block dims (per-layer vs stacked layer-indexed entry points); scale refs
+    stay [.., hb, 1, L]."""
     G = q_ref.shape[2]
     D = q_ref.shape[3]
     L = kq_ref.shape[-1]
-    cp = (0,) * (kq_ref.ndim - 3)                        # cache lead index
+    cp = (0,) * (kq_ref.ndim - 2)                        # cache lead index
+    sp = (0,) * (ks_ref.ndim - 3)
     keep = (mask_ref[0, 0, :] != 0)[None, :]             # [1, L]
     qf = q_ref[0].astype(jnp.float32)                    # [hb, G, D]
-    ks = ks_ref[cp + (slice(None), 0, slice(None))]      # [hb, L]
-    vs = vs_ref[cp + (slice(None), 0, slice(None))]
+    ks = ks_ref[sp + (slice(None), 0, slice(None))]      # [hb, L]
+    vs = vs_ref[sp + (slice(None), 0, slice(None))]
     knf = kn_ref[0, :, 0, :].astype(jnp.float32)         # [hb, D]
     vnf = vn_ref[0, :, 0, :].astype(jnp.float32)
 
-    # g-outer nesting re-dequantizes per group member — free at G=1 (phi3,
-    # the serving flagship); llama (G=4) would want block-outer hoisting
+    # block-diagonal selector masks (built once, tiny)
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hb, hb * D), 1) // D
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hb, hb * D), 0)
+    bd_mask = col_h == row_h                             # [hb, hb*D]
+
     for g in range(G):
-        q_g = qf[:, g, :]                                # [hb, D]
-        # ---- scores: blockwise dequant + sublane(D)-reduce (pure VPU) ----
+        q_g = qf[:, g, :]                                # [hb, D] f32
+        # blockdiag(q): [h, h'*D+d] = q[h, d] iff h' == h
+        q_bd = jnp.where(bd_mask, jnp.tile(q_g, (1, hb)), 0.0).astype(
+            jnp.bfloat16)                                # [hb, hb*D]
+        # ---- scores: chunked convert + MXU ----
         parts = []
         start = 0
         while start < L:
             bl = min(block_l, L - start)
-            kq_i = kq_ref[cp + (slice(None), slice(None),
-                           slice(start, start + bl))].astype(jnp.float32)
-            # [hb, D, 1] * [hb, D, bl] → reduce D (sublanes) → [hb, bl]
-            parts.append(jnp.sum(q_g[:, :, None] * kq_i, axis=1))
+            k_c = kq_ref[cp + (slice(None),
+                          slice(start, start + bl))].astype(jnp.bfloat16)
+            parts.append(jax.lax.dot_general(
+                q_bd, k_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))     # [hb, bl]
             start += bl
         s = jnp.concatenate(parts, axis=-1)              # [hb, L]
         s = s * ks * scale
@@ -97,20 +125,23 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, kn_ref, vn_ref,
         p_new = jnp.exp(s_new - m)                       # [hb, 1]
         denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
 
-        # ---- PV: fold per-position v scales into p, lane(L)-reduce ----
-        pv = p * vs                                      # [hb, L]
-        out = jnp.zeros((hb, D), jnp.float32)
+        # ---- PV: fold v scales into p, chunked convert + MXU A@B^T ----
+        pv = (p * vs).astype(jnp.bfloat16)               # [hb, L]
+        y2 = jnp.zeros((hb * D, hb), jnp.float32)
         start = 0
         while start < L:
             bl = min(block_l, L - start)
-            vq_i = vq_ref[cp + (slice(None), slice(None),
-                           slice(start, start + bl))].astype(jnp.float32)
-            # [hb, 1, bl] * [hb, D, bl] → reduce bl (lanes) → [hb, D].
-            # slice and expand as separate ops — the fused slice+newaxis
-            # indexing lowers to an unsupported gather in Mosaic
-            pv_i = jax.lax.slice(pv, (0, start), (hb, start + bl))
-            out = out + jnp.sum(jnp.expand_dims(pv_i, 1) * vq_i, axis=2)
+            v_c = vq_ref[cp + (slice(None),
+                          slice(start, start + bl))].astype(jnp.bfloat16)
+            pv_c = jax.lax.slice(pv, (0, start), (hb, start + bl))
+            y2 = y2 + jax.lax.dot_general(
+                v_c, pv_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [hb*D, hb]
             start += bl
+        # extract the per-head-block column: out[h, d] = y2[h*D+d, h]
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (hb * D, hb), 0) // D
+               == jax.lax.broadcasted_iota(jnp.int32, (hb * D, hb), 1))
+        out = jnp.sum(jnp.where(sel, y2, 0.0), axis=1).reshape(hb, D)
         out = out + p_new * vnf
         out = out / denom
         o_ref[0, :, g, :] = out.astype(o_ref.dtype)
@@ -141,15 +172,17 @@ def decode_attention_int8(
     knt = k_new.reshape(B, Hkv, 1, D)
     vnt = v_new.reshape(B, Hkv, 1, D)
     maskt = valid_mask[:, None, :].astype(jnp.int32)
+    kf = k_q.reshape(B, Hkv * D, L)                  # head-flat (free)
+    vf = v_q.reshape(B, Hkv * D, L)
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, hb=hb, block_l=BLOCK_L),
         grid=(B, n_hblocks),
         in_specs=[
             pl.BlockSpec((1, hb, G, D), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, hb, D, L), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, hb * D, L), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, hb, 1, L), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, hb, D, L), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, hb * D, L), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, hb, 1, L), lambda b, i: (b, i, 0, 0)),
             pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, hb, 1, D), lambda b, i: (b, i, 0, 0)),
@@ -158,7 +191,7 @@ def decode_attention_int8(
         out_specs=pl.BlockSpec((1, hb, G, D), lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(qt, k_q, k_s, v_q, v_s, maskt, knt, vnt)
+    )(qt, kf, k_s, vf, v_s, maskt, knt, vnt)
     # head order is (hkv, g) — exactly how _qkv lays H out; no transpose
     return out.reshape(B, 1, H, D)
 
@@ -196,6 +229,8 @@ def decode_attention_int8_layer(
     knt = k_new.reshape(B, Hkv, 1, D)
     vnt = v_new.reshape(B, Hkv, 1, D)
     maskt = valid_mask[:, None, :].astype(jnp.int32)
+    kf = k_q.reshape(Lyr, B, Hkv * D, L)             # head-flat (free)
+    vf = v_q.reshape(Lyr, B, Hkv * D, L)
 
     def kernel(lidx_ref, *refs):
         del lidx_ref
@@ -208,12 +243,12 @@ def decode_attention_int8_layer(
             grid=(B, n_hblocks),
             in_specs=[
                 pl.BlockSpec((1, hb, G, D), lambda b, i, lidx: (b, i, 0, 0)),
-                pl.BlockSpec((1, 1, hb, D, L),
-                             lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
+                pl.BlockSpec((1, 1, hb * D, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0)),
                 pl.BlockSpec((1, 1, hb, 1, L),
                              lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
-                pl.BlockSpec((1, 1, hb, D, L),
-                             lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
+                pl.BlockSpec((1, 1, hb * D, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0)),
                 pl.BlockSpec((1, 1, hb, 1, L),
                              lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
                 pl.BlockSpec((1, 1, L), lambda b, i, lidx: (b, 0, 0)),
@@ -226,5 +261,5 @@ def decode_attention_int8_layer(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
-      qt, k_q, k_s, v_q, v_s, maskt, knt, vnt)
+      qt, kf, k_s, vf, v_s, maskt, knt, vnt)
     return out.reshape(B, 1, H, D)

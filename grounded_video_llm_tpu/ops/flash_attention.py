@@ -46,12 +46,23 @@ BLOCK_Q = 256
 BOUNDED_OFFSET = 40.0
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
                 causal, block_q, sk, sq_orig, n_blocks, bounded, has_bias):
     """One program = one (batch, q-head): loads K/V once, loops q blocks
     internally. Per-program work is n_blocks large matmuls, so the fixed
     per-program dispatch cost (~µs) amortizes — a (B, H, Sq/128) grid of tiny
-    programs measured 3x slower on the same shapes."""
+    programs measured 3x slower on the same shapes.
+
+    Bounded mode computes the softmax in the log2 domain: the raw dot output
+    goes through ONE fused mul-sub into exp2 — exp(s*scale - 40) ==
+    exp2(s*scale*log2e - 40*log2e) — replacing the separate scale multiply,
+    offset subtract, and exp's internal ln2 conversion. fp32 throughout, so
+    the fp32-softmax parity island is untouched (difference vs exp is ~1ulp
+    rounding). The saved lse stays in ln units for the backward. Measured:
+    the encoder attention is VPU-bound on exactly these per-element ops."""
     k = k_ref[0, 0, :, :]          # [Sk, D]
     v = v_ref[0, 0, :, :]          # [Sk, D]
     bias_row = bias_ref[0, 0, :][None, :] if has_bias else None
@@ -60,23 +71,31 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
         q = q_ref[0, 0, pl.ds(j * block_q, block_q), :]   # [block_q, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [block_q, Sk]
-        if has_bias:
-            # skipped for unmasked callers (the encoder): the add is a full
-            # VPU pass over every score tile (~0.5 ms/layer at 72 clips)
-            s = s + bias_row
-        if causal:
-            qpos = (j * block_q
-                    + jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
-                    + (sk - sq_orig))
-            kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
-            s = jnp.where(kpos <= qpos, s, NEG_INF)
-        if bounded:
+            preferred_element_type=jnp.float32)
+        if bounded and not has_bias and not causal:
+            # pure encoder fast path: raw scores feed exp2 directly
             m = jnp.full((s.shape[0], 1), BOUNDED_OFFSET, jnp.float32)
-            p = jnp.exp(s - BOUNDED_OFFSET)
+            p = jnp.exp2(s * (scale * _LOG2E) - BOUNDED_OFFSET * _LOG2E)
         else:
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            s = s * scale
+            if has_bias:
+                # skipped for unmasked callers (the encoder): the add is a
+                # full VPU pass over every score tile (~0.5 ms/layer at 72
+                # clips)
+                s = s + bias_row
+            if causal:
+                qpos = (j * block_q
+                        + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (block_q, sk), 0)
+                        + (sk - sq_orig))
+                kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
+                s = jnp.where(kpos <= qpos, s, NEG_INF)
+            if bounded:
+                m = jnp.full((s.shape[0], 1), BOUNDED_OFFSET, jnp.float32)
+                p = jnp.exp2(s * _LOG2E - BOUNDED_OFFSET * _LOG2E)
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
         # normalize the [block_q, D] OUTPUT rather than the [block_q, Sk]
         # probability tile — one fewer full-tile VPU pass (flash-attn's own
         # deferred-rescale trick; diff vs pre-normalizing is bf16 rounding)
@@ -99,9 +118,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
         # logsumexp per row — the backward's softmax replay key. The bounded
         # offset IS a valid m (softmax offset-invariance), so the formula is
         # identical in both modes.
-        lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)] = jnp.where(
-            dead[:, 0], jnp.inf,
-            m[:, 0] + jnp.log(jnp.where(dead[:, 0], 1.0, denom[:, 0])))
+        # lse lives SUBLANE-major ([.., Sq, 1]): the write offset j*block_q
+        # only needs 8-alignment there, letting block_q be any 8-multiple
+        # (balanced blocks); a lane-major lse requires 128-aligned offsets
+        lse_ref[0, 0, pl.ds(j * block_q, block_q), :] = jnp.where(
+            dead, jnp.inf,
+            m + jnp.log(jnp.where(dead, 1.0, denom)))
         return 0
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
@@ -179,12 +201,12 @@ def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         # rows): o_acc/l would be 0/0 = NaN, poisoning the residual stream
         # for ALL rows at the next layer (additive bias can't mask NaN k/v).
         # Emit 0 with lse=+inf so the backward replays p = 0 for the row.
-        dead = l <= 0.0
-        l_safe = jnp.where(dead, 1.0, l)
-        o = jnp.where(dead[:, None], 0.0, o_acc / l_safe[:, None])
+        dead = (l <= 0.0)[:, None]
+        l_safe = jnp.where(dead, 1.0, l[:, None])
+        o = jnp.where(dead, 0.0, o_acc / l_safe)
         o_ref[0, 0, pl.ds(j * block_q, block_q), :] = o.astype(o_ref.dtype)
-        lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)] = jnp.where(
-            dead, jnp.inf, m_fin[:, 0] + jnp.log(l_safe))
+        lse_ref[0, 0, pl.ds(j * block_q, block_q), :] = jnp.where(
+            dead, jnp.inf, m_fin + jnp.log(l_safe))
         return 0
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
@@ -213,6 +235,12 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None,
     else:
         budget_rows = max(64, (8 * 1024 * 1024) // (Sk * 8))
         block_q = min(BLOCK_Q, budget_rows // 8 * 8, -(-Sq // 8) * 8)
+        # balance the q blocks: the encoder's Sq = 2049 under bq=256 pads to
+        # 2304 — a 9th block that is 99.6% garbage rows (+12% of every MXU
+        # and VPU pass). Keep the block count, shrink the block to the
+        # smallest 8-multiple covering Sq evenly (2049 → 9x232, 1.9% waste).
+        n_b = -(-Sq // block_q)
+        block_q = -(-(-(-Sq // n_b)) // 8) * 8
     padded = -(-Sq // block_q) * block_q
     pad = padded - Sq
     if pad:
@@ -243,11 +271,19 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None,
                                    window=window)
         kv_len = Sk_p
     else:
+        # NOTE on the encoder's ragged Sk = 2049: zero-padding K/V to the
+        # lane boundary was tried and REVERTED — a zero key scores
+        # exp(0 - 40), which is NOT negligible when real QK-normed scores go
+        # below zero (measured 0.43 abs output error), and masking the pad
+        # tail costs the very bias pass the encoder path exists to skip.
+        # In-situ the raggedness measured ~0 anyway (trunk A/B 3346 vs 3348
+        # ms); the isolated S2048-vs-2049 delta was the q-side block
+        # imbalance, handled by the balanced block_q above.
+        kv_len = Sk
         kernel = functools.partial(_fwd_kernel, scale=scale, causal=False,
-                                   block_q=block_q, sk=Sk, sq_orig=Sq,
+                                   block_q=block_q, sk=kv_len, sq_orig=Sq,
                                    n_blocks=n_blocks, bounded=bounded,
                                    has_bias=has_bias)
-        kv_len = Sk
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -259,16 +295,16 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, Sq_p), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sq_p, 1), lambda b, h: (b, h, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Sq_p, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, 1, Sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sq_p, 1), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(qt, kt, vt, bias[:, None, :])
     out = out.transpose(0, 2, 1, 3)
-    lse = lse[:, :, 0, :]
+    lse = lse[:, :, :, 0]
     if pad:
         out = out[:, :Sq]
         lse = lse[:, :, :Sq]

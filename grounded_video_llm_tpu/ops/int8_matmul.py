@@ -70,15 +70,21 @@ def matmul_any(x: jnp.ndarray, kernel) -> jnp.ndarray:
 
 
 def int8_matmul_layer(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray,
-                      layer_idx: jnp.ndarray, block_o: int = 512
-                      ) -> jnp.ndarray:
+                      layer_idx: jnp.ndarray, block_o: int = 512,
+                      w8a8: bool = False) -> jnp.ndarray:
     """x [M, D] @ w_q[layer_idx] for STACKED int8 weights [Lyr, D, O] with
     scales [Lyr, O] — the decode-scan path. The layer is selected inside the
     kernel via scalar prefetch so the DMA reads the big stacked buffer
     directly. Slicing the layer out first (lax.scan xs slicing) materializes
     a copy of every layer's weights per token — the pallas consumer is opaque
     to XLA's slice fusion (measured: the copies, not the kernel, dominated
-    the 31 ms/token batch-6 decode step)."""
+    the 31 ms/token batch-6 decode step).
+
+    w8a8: quantize the (tiny) activation rows in-kernel and run the int8x
+    int8 MXU dot — the weight-only path converts every int8 weight tile to
+    bf16 on the VPU (~3.6GB of converts per token across the decoder, the
+    non-DMA half of the GEMV time); the int8 dot consumes the tiles
+    directly. Decode-accuracy opt-in (the engine's int8_full mode)."""
     from jax.experimental.pallas import tpu as pltpu
 
     M, D = x.shape
@@ -97,8 +103,18 @@ def int8_matmul_layer(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray,
     def kernel(lidx_ref, x_ref, w_ref, s_ref, o_ref):
         del lidx_ref
         xv = x_ref[:, :]                        # [Mp, D] bf16
-        w = w_ref[0].astype(jnp.bfloat16)       # [D, block_o]
         s = s_ref[0, 0, :]                      # [block_o]
+        if w8a8:
+            xf = xv.astype(jnp.float32)
+            am = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            xs = jnp.maximum(am / 127.0, 1e-8)
+            x8 = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(x8, w_ref[0], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            o_ref[:, :] = (y.astype(jnp.float32) * xs * s[None, :]).astype(
+                out_dtype)
+            return
+        w = w_ref[0].astype(jnp.bfloat16)       # [D, block_o]
         y = jax.lax.dot_general(xv, w, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         o_ref[:, :] = (y * s[None, :]).astype(out_dtype)

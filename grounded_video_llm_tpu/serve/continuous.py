@@ -55,6 +55,10 @@ class Request(NamedTuple):
     attn_mask: np.ndarray           # [S]
     spatial_pixels: np.ndarray      # [num_segs, 336, 336, 3]
     temporal_pixels: np.ndarray     # [num_frames, 224, 224, 3]
+    max_new_tokens: Optional[int] = None  # per-request budget (ragged
+    #                                       output lengths — the continuous-
+    #                                       batching motivation); None →
+    #                                       the server default
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
@@ -158,9 +162,11 @@ class ContinuousServer:
                                pad_token_id=pad_token_id)
         self.eos_token_id = eos_token_id
         self.pad_token_id = pad_token_id
-        # pool max_len covers the longest spliced prompt + the token budget
-        self.max_len = (prompt_len - 1 + cfg.num_video_tokens
-                        + max_new_tokens + chunk)
+        # pool max_len covers the longest spliced prompt + the token budget,
+        # rounded to a 128 multiple (lane padding is paid in HBM regardless;
+        # the L-chunked decode kernel wants block-divisible L)
+        self.max_len = -(-(prompt_len - 1 + cfg.num_video_tokens
+                           + max_new_tokens + chunk) // 128) * 128
         self.state = self._init_state(seed)
         self._slot_req: List[Optional[int]] = [None] * pool_size
         self._slot_budget = [0] * pool_size
@@ -218,7 +224,9 @@ class ContinuousServer:
                     self.gen_kwargs["do_sample"])
                 first_i = int(first[0])
                 self._slot_req[slot] = rid
-                self._slot_budget[slot] = self.max_new_tokens - 1
+                budget = req.max_new_tokens or self.max_new_tokens
+                self._slot_budget[slot] = min(budget,
+                                              self.max_new_tokens) - 1
                 emitted[rid].append(first_i)
                 if (first_i == self.eos_token_id
                         or self._slot_budget[slot] == 0):

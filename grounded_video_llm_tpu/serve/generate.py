@@ -88,7 +88,10 @@ def generate_tokens(
     embeds, _, mask = vlm.splice_multimodal(
         input_ids, None, attn_mask, video_features, params["llm"]["embed"])
     S_full = embeds.shape[1]
-    max_len = S_full + max_new_tokens
+    # cache capacity rounds up to a 128 multiple: the int8 layout puts
+    # max_len in the lane dim (pads to 128 in HBM regardless), and the
+    # L-chunked decode-attention kernel wants block-divisible L
+    max_len = -(-(S_full + max_new_tokens) // 128) * 128
 
     cache = llm_mod.KVCache.create(cfg.llm, B, max_len, dtype=embeds.dtype)
     logits, cache = llm_mod.prefill(params["llm"], cfg.llm, embeds, mask,

@@ -1,0 +1,190 @@
+"""Continuous batching vs lockstep under RAGGED output lengths (real TPU).
+
+The whole motivation for slot-level continuous batching (serve/continuous.py)
+is ragged generation: in lockstep batching every sequence decodes until the
+LONGEST one finishes, burning pool-wide steps on finished rows. This measures
+both engines on the same ragged workload — N requests with per-request token
+budgets drawn from a geometric-ish 8..256 mix — and reports:
+
+  * useful generated tokens/sec (the aggregate-throughput axis)
+  * p50 / p95 per-request completion latency, all requests arriving at t=0
+  * the continuous engine's admission-stall share (batch-1 prefill between
+    chunks blocks the whole pool — serve/continuous.py docstring)
+
+Device-only workload (synthetic pixels, int8 serving stack, flagship
+Phi-3.5) — video decode is benchmarked by bench.py; this isolates the
+serving-engine comparison. Beyond-parity axis: the reference serves one
+request at a time (SURVEY §3.5).
+
+Usage: python scripts/bench_continuous.py [n_requests] [pool_size]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+POOL = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+PROMPT_LEN = 64
+CHUNK = 8
+MAX_NEW = 256
+EOS = -1  # disabled: budgets define the exact ragged lengths
+PAD = 0
+
+
+def make_budgets(n, rng):
+    """Geometric-flavored mix over {32, 64, 128, 256} (short replies dominate
+    real serving). Coarse buckets keep the LOCKSTEP baseline's compile count
+    bounded — each distinct max_new compiles its own decode program (~5-10
+    min remote); the continuous engine needs only its one chunk program."""
+    return rng.choice([32, 64, 128, 256], size=n,
+                      p=[0.4, 0.3, 0.2, 0.1]).astype(int).tolist()
+
+
+def main():
+    from grounded_video_llm_tpu.core.config import vlm_config
+    from grounded_video_llm_tpu.models import vlm
+    from grounded_video_llm_tpu.serve import continuous as cont
+    from grounded_video_llm_tpu.serve.continuous import (ContinuousServer,
+                                                         Request)
+    from grounded_video_llm_tpu.serve.generate import generate_tokens
+    from grounded_video_llm_tpu.serve.quantize import quantize_llm_for_serving
+    from grounded_video_llm_tpu.text.templates import IMAGE_TOKEN_INDEX
+
+    print(f"devices: {jax.devices()}  N={N} pool={POOL} chunk={CHUNK}",
+          file=sys.stderr)
+    cfg = vlm_config("phi3.5", stage="inference")
+    t0 = time.time()
+    params = jax.jit(lambda k: vlm.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0))
+    params = dict(params)
+    params["llm"] = jax.jit(quantize_llm_for_serving,
+                            donate_argnums=0)(params["llm"])
+    jax.block_until_ready(params)
+    print(f"param init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    budgets = make_budgets(N, rng)
+    print(f"budgets: {sorted(budgets)}", file=sys.stderr)
+
+    ids = rng.integers(3, 30000, size=(N, PROMPT_LEN)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    spatial = np.zeros((cfg.num_segs, 336, 336, 3), np.float32)
+    temporal = np.zeros((cfg.num_frames, 224, 224, 3), np.float32)
+    reqs = [Request(ids[i], np.ones(PROMPT_LEN, np.int32), spatial, temporal,
+                    max_new_tokens=budgets[i]) for i in range(N)]
+    useful_tokens = sum(budgets)
+
+    # ---------------- continuous engine ----------------
+    server = ContinuousServer(params, cfg, pool_size=POOL,
+                              prompt_len=PROMPT_LEN, max_new_tokens=MAX_NEW,
+                              chunk=CHUNK, eos_token_id=EOS,
+                              pad_token_id=PAD)
+
+    # instrument admission vs decode time + per-request completion
+    admit_t = [0.0]
+    chunk_t = [0.0]
+    done_at = {}
+    real_admit, real_chunk = server._admit, server._run_chunk
+
+    def timed_admit(pending, emitted, results):
+        before = set(results)
+        t = time.time()
+        real_admit(pending, emitted, results)
+        admit_t[0] += time.time() - t
+        for rid in set(results) - before:
+            done_at[rid] = time.time()
+
+    def timed_chunk(emitted, results):
+        before = set(results)
+        t = time.time()
+        real_chunk(emitted, results)
+        chunk_t[0] += time.time() - t
+        for rid in set(results) - before:
+            done_at[rid] = time.time()
+
+    server._admit = timed_admit
+    server._run_chunk = timed_chunk
+
+    # warmup compile: 1-request pass (prefill + chunk programs)
+    warm = ContinuousServer(params, cfg, pool_size=POOL,
+                            prompt_len=PROMPT_LEN, max_new_tokens=CHUNK + 1,
+                            chunk=CHUNK, eos_token_id=EOS, pad_token_id=PAD)
+    t = time.time()
+    warm.serve([reqs[0]._replace(max_new_tokens=CHUNK + 1)])
+    print(f"continuous compile+warmup: {time.time()-t:.1f}s", file=sys.stderr)
+
+    t_start = time.time()
+    outs = server.serve(reqs)
+    cont_wall = time.time() - t_start
+    got_tokens = sum(len(o) for o in outs)
+    lat = np.asarray(sorted(done_at[i] - t_start for i in range(N)))
+    cont_tps = got_tokens / cont_wall
+    print(f"continuous: {cont_wall:.2f}s wall, {got_tokens} tokens "
+          f"({cont_tps:.1f} tok/s) | admit (batch-1 prefill) {admit_t[0]:.2f}s "
+          f"({100*admit_t[0]/cont_wall:.0f}%), decode {chunk_t[0]:.2f}s | "
+          f"latency p50 {np.percentile(lat, 50):.2f}s "
+          f"p95 {np.percentile(lat, 95):.2f}s", file=sys.stderr)
+
+    # ---------------- lockstep engine ----------------
+    # batches of POOL, sorted-by-budget admission is the STRONGEST lockstep
+    # baseline (minimizes in-batch raggedness) — report both orders
+    def run_lockstep(order, label):
+        t_start = time.time()
+        lats = []
+        tokens = 0
+        for i in range(0, N, POOL):
+            chunk_ids = order[i:i + POOL]
+            b = len(chunk_ids)
+            bud = max(budgets[j] for j in chunk_ids)
+            toks, length = generate_tokens(
+                params, cfg,
+                jnp.asarray(ids[chunk_ids]),
+                jnp.ones((b, PROMPT_LEN), jnp.int32),
+                jnp.asarray(np.repeat(spatial[None], b, 0)),
+                jnp.asarray(np.repeat(temporal[None], b, 0)),
+                jax.random.key(0), max_new_tokens=bud, temperature=0.0,
+                do_sample=False, eos_token_id=EOS, pad_token_id=PAD,
+                quantize_cache=True)
+            np.asarray(toks)
+            tokens += sum(min(budgets[j], bud) for j in chunk_ids)
+            lats.extend([time.time() - t_start] * b)
+        wall = time.time() - t_start
+        lats = np.asarray(lats)
+        print(f"lockstep[{label}]: {wall:.2f}s wall, {tokens} useful tokens "
+              f"({tokens / wall:.1f} tok/s) | latency "
+              f"p50 {np.percentile(lats, 50):.2f}s "
+              f"p95 {np.percentile(lats, 95):.2f}s", file=sys.stderr)
+        return tokens / wall, wall
+
+    # arrival order (what a queue would see) and sorted-by-budget (the
+    # strongest lockstep baseline). NOTE each distinct (batch, max_new)
+    # compiles its own decode program — wall time excludes nothing, so the
+    # first pass carries compiles; run arrival twice and keep the warm one.
+    order = list(range(N))
+    srt = sorted(order, key=lambda j: budgets[j])
+    run_lockstep(order, "arrival-cold")
+    arr_tps, _ = run_lockstep(order, "arrival")
+    srt_tps, _ = run_lockstep(srt, "sorted")
+
+    import json
+
+    print(json.dumps({
+        "metric": "continuous_vs_lockstep_ragged_tok_per_sec",
+        "continuous": round(cont_tps, 2),
+        "lockstep_arrival": round(arr_tps, 2),
+        "lockstep_sorted": round(srt_tps, 2),
+        "speedup_vs_arrival": round(cont_tps / arr_tps, 3),
+        "admit_stall_frac": round(admit_t[0] / cont_wall, 3),
+        "useful_tokens": useful_tokens,
+    }))
+
+
+if __name__ == "__main__":
+    main()

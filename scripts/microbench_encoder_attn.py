@@ -19,8 +19,11 @@ Usage: python scripts/microbench_encoder_attn.py [b_clips]
 """
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -39,13 +42,19 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_q, n_blocks, mode):
 
     def body(j, _):
         q = q_ref[0, 0, pl.ds(j * block_q, block_q), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        raw = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        s = raw * scale
         if mode == "full":
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
         elif mode == "nomax":
             p = jnp.exp(s - 30.0)   # fixed safe max (qk-normed scores bounded)
+        elif mode == "exp2":
+            # log2-domain: one fused mul-sub feeding exp2 (no separate scale
+            # pass, no ln2 conversion inside exp)
+            c1 = scale * 1.4426950408889634
+            p = jnp.exp2(raw * c1 - 30.0 * 1.4426950408889634)
         elif mode == "noexp":
             p = s
         denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -109,12 +118,42 @@ def main():
                            dtype=jnp.float32)
         return run
 
-    for mode in ("full", "nomax", "noexp"):
+    for mode in ("full", "nomax", "exp2", "noexp"):
         for bq in (256, 512, 1024):
             time_fn(f"flash_{mode}_bq{bq}",
                     chain(lambda a, b, c, m=mode, bb=bq:
                           flash_variant(a, b, c, m, block_q=bb)),
                     q, k, v, flops=attn_flops)
+
+    # in-situ entry: [B,S,H,D] layout through ops.attention.mha — the gap vs
+    # the raw kernel above is the 4 HBM transposes + layout fiddling
+    from grounded_video_llm_tpu.ops.attention import mha as mha_entry
+
+    qs = q.transpose(0, 2, 1, 3)  # [B, S, H, D]
+    ks_ = k.transpose(0, 2, 1, 3)
+    vs_ = v.transpose(0, 2, 1, 3)
+
+    def chain_bshd(fn):
+        def run(q, k, v):
+            def body(i, acc):
+                return fn(acc, k, v)
+            return jnp.sum(jax.lax.fori_loop(0, R, body, q),
+                           dtype=jnp.float32)
+        return run
+
+    time_fn("mha_bshd_insitu",
+            chain_bshd(lambda a, b, c: mha_entry(
+                a, b, c, bounded_softmax=True).astype(a.dtype)),
+            qs, ks_, vs_, flops=attn_flops)
+
+    # ragged-lane cost: same kernel at S=2048 (no CLS straggler): Mosaic
+    # pads 2049 lanes to 2176 (+6%) and may take unaligned paths
+    q2, k2, v2 = q[:, :, :2048], k[:, :, :2048], v[:, :, :2048]
+    flops2 = B * H * (2 * 2048 * 2048 * DH * 2)
+    time_fn("flash_nomax_S2048",
+            chain(lambda a, b, c: flash_variant(a, b, c, "nomax",
+                                                block_q=256)),
+            q2, k2, v2, flops=flops2)
 
 
 if __name__ == "__main__":

@@ -51,8 +51,14 @@ def main():
     params = jax.jit(lambda k: vlm.init_params(k, cfg, dtype=jnp.bfloat16))(
         jax.random.key(0))
     params = dict(params)
-    params["llm"] = jax.jit(quantize_llm_for_serving,
-                            donate_argnums=0)(params["llm"])
+    import functools as _ft
+
+    # w8a8 matches bench.py's full-int8 serving mode (W8A8 prefill GEMMs +
+    # W8A8 decode GEMVs)
+    params["llm"] = jax.jit(
+        _ft.partial(quantize_llm_for_serving,
+                    w8a8=os.environ.get("PHASE_QUANT_ENC", "1") == "1"),
+        donate_argnums=0)(params["llm"])
     if os.environ.get("PHASE_QUANT_ENC", "1") == "1":  # match bench serving
         from grounded_video_llm_tpu.serve.quantize import (
             quantize_clip_for_serving, quantize_video_encoder_for_serving)

@@ -4,7 +4,9 @@ Times ONLY the int8 decode-attention kernel, scanned over a full stacked
 cache (32 layers x batch x [Hkv, D, max_len] int8) exactly like decode_step
 does — per-layer scalar-prefetch indexing, HBM streaming of ~4.3GB/pass.
 Sweeps head_block (VPU tile height for the softmax/mult-reduce math) and
-BLOCK_L (dequant tile width).
+BLOCK_L (the L-chunk size: one grid step per chunk, online-softmax scratch
+carried across the sequential L grid; the Pallas pipeline double-buffers
+each chunk's k+v DMA against the previous chunk's VPU work).
 
 Floor: cache read ~4.3GB at 819GB/s = 5.3 ms/pass. Decode total is
 17.2 ms/tok; GEMVs ~4.5ms; whatever this sweep saves is ~1:1 off the token.
