@@ -564,37 +564,22 @@ def decode_step(
 
         kq, ksc = qkv_fn(new_ks)   # [L,B,Hkv,D] i8, [L,B,Hkv]
         vq, vsc = qkv_fn(new_vs)
-        if active is None:
-            # batch serving: slot indices are uniform (left-padded prompts) —
-            # one shared-index dynamic_update_slice, in place on the loop
-            # carry, zero kernel-launch overhead
-            uidx = write_idx[0]
-            new_cache = QuantKVCache(
-                jax.lax.dynamic_update_slice(
-                    cache.k, kq[..., None].astype(cache.k.dtype),
-                    (0, 0, 0, 0, uidx)),
-                jax.lax.dynamic_update_slice(
-                    cache.k_scale, ksc[:, :, :, None, None],
-                    (0, 0, 0, 0, uidx)),
-                jax.lax.dynamic_update_slice(
-                    cache.v, vq[..., None].astype(cache.v.dtype),
-                    (0, 0, 0, 0, uidx)),
-                jax.lax.dynamic_update_slice(
-                    cache.v_scale, vsc[:, :, :, None, None],
-                    (0, 0, 0, 0, uidx)),
-                cache.length + 1)
-        else:
-            # continuous-batching pool: rows decode at DIFFERENT slots — the
-            # Pallas scatter kernels rewrite only each row's 128-lane tile
-            from ..ops.cache_write import (scatter_write_kv,
-                                           scatter_write_scale)
+        # Pallas scatter kernels for BOTH batch and continuous serving: they
+        # rewrite only the 128-lane tile containing each row's slot (~75MB
+        # r+w per side). The former batch-path shared-index
+        # dynamic_update_slice wrote a single lane COLUMN of the int8 cache
+        # — 590KB at stride max_len, a scattered byte-granularity store
+        # XLA handles poorly; per-row indices also come for free here.
+        from ..ops.cache_write import scatter_write_kv, scatter_write_scale
 
-            new_cache = QuantKVCache(
-                scatter_write_kv(cache.k, kq, write_idx),
-                scatter_write_scale(cache.k_scale, ksc, write_idx),
-                scatter_write_kv(cache.v, vq, write_idx),
-                scatter_write_scale(cache.v_scale, vsc, write_idx),
-                cache.length + active.astype(jnp.int32))
+        adv = (jnp.int32(1) if active is None
+               else active.astype(jnp.int32))
+        new_cache = QuantKVCache(
+            scatter_write_kv(cache.k, kq, write_idx),
+            scatter_write_scale(cache.k_scale, ksc, write_idx),
+            scatter_write_kv(cache.v, vq, write_idx),
+            scatter_write_scale(cache.v_scale, vsc, write_idx),
+            cache.length + adv)
     else:
         uni_idx = write_idx[0]
 
