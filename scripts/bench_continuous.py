@@ -109,17 +109,15 @@ def main():
         for rid in set(results) - before:
             done_at[rid] = time.time()
 
-    server._admit = timed_admit
-    server._run_chunk = timed_chunk
-
-    # warmup compile: 1-request pass (prefill + chunk programs)
-    warm = ContinuousServer(params, cfg, pool_size=POOL,
-                            prompt_len=PROMPT_LEN, max_new_tokens=CHUNK + 1,
-                            chunk=CHUNK, eos_token_id=EOS, pad_token_id=PAD)
+    # warmup compile THROUGH the same server (same pool shapes → the same
+    # prefill/chunk programs the measured run uses; a separate warm server
+    # would hold a second 4.5GB pool cache and OOM the chip)
     t = time.time()
-    warm.serve([reqs[0]._replace(max_new_tokens=CHUNK + 1)])
+    server.serve([reqs[0]._replace(max_new_tokens=CHUNK + 1)])
     print(f"continuous compile+warmup: {time.time()-t:.1f}s", file=sys.stderr)
 
+    server._admit = timed_admit
+    server._run_chunk = timed_chunk
     t_start = time.time()
     outs = server.serve(reqs)
     cont_wall = time.time() - t_start
@@ -131,6 +129,12 @@ def main():
           f"({100*admit_t[0]/cont_wall:.0f}%), decode {chunk_t[0]:.2f}s | "
           f"latency p50 {np.percentile(lat, 50):.2f}s "
           f"p95 {np.percentile(lat, 95):.2f}s", file=sys.stderr)
+
+    # free the pool cache before lockstep allocates its own (HBM headroom)
+    import gc
+
+    server.state = None
+    gc.collect()
 
     # ---------------- lockstep engine ----------------
     # batches of POOL, sorted-by-budget admission is the STRONGEST lockstep
