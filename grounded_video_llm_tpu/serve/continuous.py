@@ -62,44 +62,56 @@ class Request(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
-def _prefill_one(params, cfg: VLMConfig, input_ids, attn_mask, spatial,
-                 temporal, max_len: int):
-    """Batch-1 multimodal prefill into a quantized row cache at pool size."""
-    video_features = vlm.encode_video(params, cfg, spatial[None], temporal[None])
+def _prefill_batch(params, cfg: VLMConfig, input_ids, attn_mask, spatial,
+                   temporal, max_len: int):
+    """Batched multimodal prefill ([k, ...] inputs) into quantized row caches
+    at pool cache size. Admission batches amortize the dual-stream encoder —
+    batch-1 admission prefills measured 83% of continuous-serving wall time
+    (scripts/bench_continuous.py)."""
+    k = input_ids.shape[0]
+    video_features = vlm.encode_video(params, cfg, spatial, temporal)
     embeds, _, mask = vlm.splice_multimodal(
-        input_ids[None], None, attn_mask[None], video_features,
-        params["llm"]["embed"])
+        input_ids, None, attn_mask, video_features, params["llm"]["embed"])
     S_full = embeds.shape[1]
     skeleton = llm_mod.KVCache(
-        jnp.zeros((1, 1, max_len, 1, 1), jnp.bfloat16),
-        jnp.zeros((1, 1, max_len, 1, 1), jnp.bfloat16),
-        jnp.zeros((1,), jnp.int32))
+        jnp.zeros((1, k, max_len, 1, 1), jnp.bfloat16),
+        jnp.zeros((1, k, max_len, 1, 1), jnp.bfloat16),
+        jnp.zeros((k,), jnp.int32))
     logits, cache = llm_mod.prefill(params["llm"], cfg.llm, embeds, mask,
                                     skeleton, quantize_cache=True)
-    valid = jnp.zeros((1, max_len), bool).at[:, :S_full].set(mask.astype(bool))
+    valid = jnp.zeros((k, max_len), bool).at[:, :S_full].set(mask.astype(bool))
     pos = jnp.sum(mask, axis=-1).astype(jnp.int32)
     return logits, cache, valid, pos
 
 
 @functools.partial(jax.jit, donate_argnums=0)
-def _insert_row(state: PoolState, row_cache: llm_mod.QuantKVCache,
-                row_valid, row_pos, first_token, slot):
-    """Copy a prefilled request's cache/bookkeeping into pool slot `slot`."""
-    def put(pool_arr, row_arr):
+def _insert_row(state: PoolState, batch_cache: llm_mod.QuantKVCache,
+                batch_valid, batch_pos, first_token, slot, row):
+    """Copy row `row` of a batched prefill's cache/bookkeeping into pool slot
+    `slot` (slice + insert fused in one program — no intermediate row-cache
+    materialization)."""
+    def put(pool_arr, batch_arr):
+        row_arr = jax.lax.dynamic_slice_in_dim(batch_arr, row, 1, axis=1)
         return jax.lax.dynamic_update_slice(
             pool_arr, row_arr, (0, slot) + (0,) * (pool_arr.ndim - 2))
 
     cache = llm_mod.QuantKVCache(
-        put(state.cache.k, row_cache.k),
-        put(state.cache.k_scale, row_cache.k_scale),
-        put(state.cache.v, row_cache.v),
-        put(state.cache.v_scale, row_cache.v_scale),
-        jax.lax.dynamic_update_slice(state.cache.length, row_cache.length,
-                                     (slot,)))
+        put(state.cache.k, batch_cache.k),
+        put(state.cache.k_scale, batch_cache.k_scale),
+        put(state.cache.v, batch_cache.v),
+        put(state.cache.v_scale, batch_cache.v_scale),
+        jax.lax.dynamic_update_slice(
+            state.cache.length,
+            jax.lax.dynamic_slice_in_dim(batch_cache.length, row, 1, 0),
+            (slot,)))
     return PoolState(
         cache,
-        jax.lax.dynamic_update_slice(state.valid, row_valid, (slot, 0)),
-        jax.lax.dynamic_update_slice(state.positions, row_pos, (slot,)),
+        jax.lax.dynamic_update_slice(
+            state.valid,
+            jax.lax.dynamic_slice_in_dim(batch_valid, row, 1, 0), (slot, 0)),
+        jax.lax.dynamic_update_slice(
+            state.positions,
+            jax.lax.dynamic_slice_in_dim(batch_pos, row, 1, 0), (slot,)),
         state.cur_token.at[slot].set(first_token),
         state.active.at[slot].set(True),
         state.rng)
@@ -151,11 +163,21 @@ class ContinuousServer:
                  chunk: int = 8, temperature: float = 0.0,
                  top_p: Optional[float] = None, do_sample: bool = False,
                  eos_token_id: int = 2, pad_token_id: int = 0,
-                 seed: int = 0):
+                 seed: int = 0, admit_batch: int = 1):
         self.params = params
         self.cfg = cfg
         self.pool_size = pool_size
         self.chunk = chunk
+        # max admissions per batched prefill (buckets are powers of 2 up to
+        # this). Default 1: on one v5e the batch-12-clip encoder already
+        # saturates the chip at admission batch 1, and batch-2 prefills
+        # MEASURED SLOWER per request (1.01 vs 0.86 s/req steady-state,
+        # scripts/bench_continuous.py) — the admission win came from staging
+        # pixel transfers (stage_request), not from batching the prefill.
+        # >1 remains available for parts where the encoder underfills the
+        # chip; each extra row carries a pool-length int8 cache
+        # (~0.75GB/side at flagship pool shapes; 4 measured OOM on v5e).
+        self.admit_batch = max(1, admit_batch)
         self.max_new_tokens = max_new_tokens
         self.gen_kwargs = dict(temperature=temperature, top_p=top_p,
                                do_sample=do_sample, eos_token_id=eos_token_id,
@@ -189,7 +211,8 @@ class ContinuousServer:
         """→ per-request generated token arrays (EOS excluded)."""
         results: dict = {}
         emitted: dict = {i: [] for i in range(len(requests))}
-        pending = [(i, requests[i]) for i in range(len(requests))]
+        pending = [(i, self.stage_request(requests[i]))
+                   for i in range(len(requests))]
 
         while pending or self._busy():
             self._admit(pending, emitted, results)
@@ -198,27 +221,58 @@ class ContinuousServer:
         return [results.get(i, np.zeros(0, np.int32))
                 for i in range(len(requests))]
 
+    @staticmethod
+    def stage_request(req: Request) -> Request:
+        """Start the request's pixel host→device transfers NOW (async
+        device_put) so they overlap decode chunks instead of serializing
+        into the admission prefill — host→device pixel transfer, not encode,
+        dominated batch-1 admission cost on tunneled backends (~18.5MB/video
+        uint8). The scheduler calls this at submit time; serve() stages its
+        whole request list upfront (~19MB/request of HBM)."""
+        return req._replace(
+            input_ids=jax.device_put(jnp.asarray(req.input_ids)),
+            attn_mask=jax.device_put(jnp.asarray(req.attn_mask)),
+            spatial_pixels=jax.device_put(jnp.asarray(req.spatial_pixels)),
+            temporal_pixels=jax.device_put(jnp.asarray(req.temporal_pixels)))
+
     # -- incremental engine (shared by serve() and ContinuousScheduler) ------
 
     def _busy(self) -> bool:
         return any(r is not None for r in self._slot_req)
 
     def _admit(self, pending, emitted, results) -> None:
-        """Fill free slots from `pending` [(rid, Request), ...] (prefill +
-        insert); requests finishing on their first token resolve
-        immediately."""
-        for slot in range(self.pool_size):
-            if self._slot_req[slot] is None and pending:
-                rid, req = pending.pop(0)
-                logits, row_cache, row_valid, row_pos = _prefill_one(
-                    self.params, self.cfg, jnp.asarray(req.input_ids),
-                    jnp.asarray(req.attn_mask),
-                    jnp.asarray(req.spatial_pixels),
-                    jnp.asarray(req.temporal_pixels), self.max_len)
-                self.state = self.state._replace(
-                    rng=jax.random.split(self.state.rng)[0])
+        """Fill free slots from `pending` [(rid, Request), ...]: prefill up
+        to `admit_batch` requests in ONE batched call (power-of-2 buckets,
+        padded by repeating a request) and insert each row into a free
+        slot. Requests finishing on their first token resolve
+        immediately. Inputs must be pre-staged (stage_request) — async
+        pixel transfers, not prefill batching, is what cut the measured
+        admission stall (1.5 → 0.86 s/req)."""
+        while pending:
+            free = [s for s in range(self.pool_size)
+                    if self._slot_req[s] is None]
+            if not free:
+                return
+            take = pending[: min(len(free), self.admit_batch)]
+            del pending[: len(take)]
+            k = len(take)
+            bucket = 1
+            while bucket < k:
+                bucket *= 2
+            idx = [take[i % k][1] for i in range(bucket)]  # pad by repeat
+            logits, bcache, bvalid, bpos = _prefill_batch(
+                self.params, self.cfg,
+                jnp.stack([jnp.asarray(r.input_ids) for r in idx]),
+                jnp.stack([jnp.asarray(r.attn_mask) for r in idx]),
+                jnp.stack([jnp.asarray(r.spatial_pixels) for r in idx]),
+                jnp.stack([jnp.asarray(r.temporal_pixels) for r in idx]),
+                self.max_len)
+            self.state = self.state._replace(
+                rng=jax.random.split(self.state.rng)[0])
+            for i, (rid, req) in enumerate(take):
+                slot = free[i]
                 first = sample_logits(
-                    logits, jax.random.fold_in(self.state.rng, rid),
+                    logits[i:i + 1], jax.random.fold_in(self.state.rng, rid),
                     self.gen_kwargs["temperature"],
                     self.gen_kwargs["top_p"],
                     self.gen_kwargs["do_sample"])
@@ -234,9 +288,10 @@ class ContinuousServer:
                     self._slot_req[slot] = None
                     continue
                 self.state = _insert_row(
-                    self.state, row_cache, row_valid, row_pos,
+                    self.state, bcache, bvalid, bpos,
                     jnp.asarray(first_i, jnp.int32),
-                    jnp.asarray(slot, jnp.int32))
+                    jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(i, jnp.int32))
 
     def _run_chunk(self, emitted, results) -> None:
         """One jitted decode chunk over the pool + host-side retirement."""
@@ -292,7 +347,9 @@ class ContinuousScheduler:
         from concurrent.futures import Future
 
         fut = Future()
-        self._queue.put((req, fut))
+        # stage pixel transfers at submit time — they overlap the pool's
+        # decode chunks instead of stalling the admission prefill
+        self._queue.put((ContinuousServer.stage_request(req), fut))
         return fut
 
     def shutdown(self, wait: bool = True) -> None:

@@ -84,6 +84,25 @@ def test_pool_reuse_after_retirement(micro_model):
         second[0], _reference_greedy(params, cfg, reqs[1], 4))
 
 
+def test_batched_admission_pad_by_repeat(micro_model):
+    """3 requests admitted into a 3-slot pool with admit_batch=4 pads the
+    prefill bucket by repeating a request (k=3 → bucket 4); outputs must
+    still match lockstep, including ragged per-request budgets."""
+    cfg, params = micro_model
+    reqs = _make_requests(cfg, 3)
+    budgets = [3, 6, 4]
+    reqs = [r._replace(max_new_tokens=b) for r, b in zip(reqs, budgets)]
+    server = ContinuousServer(params, cfg, pool_size=3, prompt_len=10,
+                              max_new_tokens=8, chunk=2,
+                              temperature=0.0, do_sample=False,
+                              eos_token_id=EOS, pad_token_id=PAD,
+                              admit_batch=4)
+    got = server.serve(reqs)
+    for i, req in enumerate(reqs):
+        want = _reference_greedy(params, cfg, req, budgets[i])
+        np.testing.assert_array_equal(got[i], want), i
+
+
 def test_threaded_scheduler_matches_reference(micro_model):
     """Futures submitted concurrently through ContinuousScheduler resolve to
     the same greedy outputs as standalone generation."""
