@@ -11,6 +11,14 @@ matmuls; encoder ≈65% of e2e serving). Variants isolate the suspects:
   xla          — plain einsum attention (XLA fusion baseline)
   matmul       — score+PV-shaped matmuls only (the MXU roofline at head_dim 88)
   exp_only     — jnp.exp over score-tile-sized fp32 (VPU transcendental rate)
+  flash_pipe   — software-pipelined: block j+1's QK dot issued before block
+                 j's softmax/PV. MEASURED SLOWER (58.6 vs 74.5 TF/s, r3):
+                 the explicit [block_q, S] fp32 carry defeats Mosaic's own
+                 scheduling. Kept as the negative-result record.
+
+r3 finding: S=2048 runs 12-15%% faster than the real S=2049 (84.4 vs 73.5
+TF/s nomax) — raggedness (9x232 balanced q-blocks + 1 masked key lane-tile)
+is the remaining gap, not softmax (noexp == nomax == exp2).
 
 Timing per CLAUDE.md: one jit per variant, R chained iterations INSIDE the
 jit (per-call dispatch ~25-30ms on the axon tunnel), output fetched to host.
@@ -64,7 +72,39 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_q, n_blocks, mode):
             o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+    if mode == "pipe":
+        # software pipeline: block j+1's score matmul is issued in the same
+        # iteration that runs block j's exp/sum (VPU) and PV (MXU) — the
+        # scheduler can overlap the independent MXU work with the VPU
+        # softmax instead of serializing dot → exp → dot
+        c1 = scale * 1.4426950408889634
+        c2 = 30.0 * 1.4426950408889634
+
+        def sblock(j):
+            q = q_ref[0, 0, pl.ds(j * block_q, block_q), :]
+            return jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def pbody(j, s_j):
+            s_next = sblock(j + 1)
+            p = jnp.exp2(s_j * c1 - c2)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[0, 0, pl.ds(j * block_q, block_q), :] = (o / denom).astype(
+                o_ref.dtype)
+            return s_next
+
+        s_last = jax.lax.fori_loop(0, n_blocks - 1, pbody, sblock(0))
+        p = jnp.exp2(s_last * c1 - c2)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, 0, pl.ds((n_blocks - 1) * block_q, block_q), :] = (
+            o / denom).astype(o_ref.dtype)
+    else:
+        jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
 def flash_variant(q, k, v, mode, block_q=512):
@@ -118,8 +158,8 @@ def main():
                            dtype=jnp.float32)
         return run
 
-    for mode in ("full", "nomax", "exp2", "noexp"):
-        for bq in (256, 512, 1024):
+    for mode in ("nomax", "exp2", "pipe"):
+        for bq in (232, 256, 512):
             time_fn(f"flash_{mode}_bq{bq}",
                     chain(lambda a, b, c, m=mode, bb=bq:
                           flash_variant(a, b, c, m, block_q=bb)),

@@ -15,6 +15,13 @@ the harness — this re-measures, including the realistic variants:
 Shapes: encoder mlp fc1 [S*clips, 1408]x[1408, 6144] and fc2 transpose.
 Timing per CLAUDE.md: R chained in-jit iterations, scalar fetch.
 Usage: python scripts/microbench_int8_gemm.py
+
+r3 Pallas variants (same-process A/B, absolute TF/s drifted low that run):
+  pl_i8_*   — blocked Mosaic int8 GEMM: best 88.2 vs XLA i8i8 82.7 TF/s
+              (+6%% — not worth replacing matmul_any's XLA path)
+  pl_dyn_*  — per-row dynamic activation quant fused INTO the GEMM kernel:
+              70.9 vs XLA's separate-quant 71.0 TF/s (a wash; the HBM
+              round-trip saved is repaid by Mosaic fp32 VPU round/clip)
 """
 
 import sys
@@ -102,6 +109,80 @@ def main():
         return acc
 
     time_fn("i8i8_dynamic", chain_i8_dynamic, x, wq, ws, flops=flops)
+
+    # -- Pallas blocked int8 GEMM: can Mosaic beat XLA's ~46%-of-peak int8
+    # dot? K stays whole (1408 fits VMEM); grid (N/bn, M/bm) with m inner so
+    # the w tile is fetched once per j and the small x tiles re-stream.
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    def _pl_kernel(x_ref, w_ref, s_ref, o_ref):
+        y = jax.lax.dot_general(x_ref[:, :], w_ref[:, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        o_ref[:, :] = (y.astype(jnp.float32) * s_ref[0, :]).astype(
+            jnp.bfloat16)
+
+    def pallas_i8(xq, wq, ws, bm, bn):
+        return pl.pallas_call(
+            _pl_kernel,
+            grid=(N // bn, M // bm),
+            in_specs=[pl.BlockSpec((bm, K), lambda j, i: (i, 0)),
+                      pl.BlockSpec((K, bn), lambda j, i: (0, j)),
+                      pl.BlockSpec((1, bn), lambda j, i: (0, j))],
+            out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        )(xq, wq, ws)
+
+    for bm, bn in ((512, 512), (512, 1024), (256, 1024), (1024, 512)):
+        def chain_pl(xq, wq, ws, bm=bm, bn=bn):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(R):
+                xq2 = jnp.bitwise_xor(xq,
+                                      (jnp.int32(acc * 0) & 0).astype(jnp.int8))
+                y = pallas_i8(xq2, wq, ws, bm, bn)
+                acc = acc + jnp.sum(y[::512, ::512].astype(jnp.float32))
+            return acc
+
+        time_fn(f"pl_i8_{bm}x{bn}", chain_pl, xq, wq, ws[None, :],
+                flops=flops)
+
+    # fused dynamic quant: x enters bf16, per-row absmax + round happen in
+    # VMEM inside the GEMM program (saves the HBM round-trip of xq and the
+    # separate quant pass XLA emits)
+    def _pl_dyn_kernel(x_ref, w_ref, s_ref, o_ref):
+        xf = x_ref[:, :].astype(jnp.float32)
+        am = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs = jnp.maximum(am / 127.0, 1e-8)
+        x8 = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(x8, w_ref[:, :], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        o_ref[:, :] = (y.astype(jnp.float32) * xs * s_ref[0, :]).astype(
+            jnp.bfloat16)
+
+    def pallas_dyn(x, wq, ws, bm, bn):
+        return pl.pallas_call(
+            _pl_dyn_kernel,
+            grid=(N // bn, M // bm),
+            in_specs=[pl.BlockSpec((bm, K), lambda j, i: (i, 0)),
+                      pl.BlockSpec((K, bn), lambda j, i: (0, j)),
+                      pl.BlockSpec((1, bn), lambda j, i: (0, j))],
+            out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        )(x, wq, ws)
+
+    for bm, bn in ((512, 1024), (512, 512)):
+        def chain_pld(x, wq, ws, bm=bm, bn=bn):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(R):
+                y = pallas_dyn((x * (1.0 + acc * 0)).astype(x.dtype),
+                               wq, ws, bm, bn)
+                acc = acc + jnp.sum(y[::512, ::512].astype(jnp.float32))
+            return acc
+
+        time_fn(f"pl_dyn_{bm}x{bn}", chain_pld, x, wq, ws[None, :],
+                flops=flops)
 
 
 if __name__ == "__main__":
