@@ -45,6 +45,22 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 # whole-block layout's 515 (sweep_decode_attn).
 BLOCK_L = 512
 
+# Score dot directly on int8: quantize the tiny q block per head IN-KERNEL
+# (absmax over D) and feed the MXU an int8 x int8 -> int32 dot against the
+# raw K cache tiles, skipping the K-side int8->bf16 VPU convert. Per-head q
+# scales commute out of the contraction; the added q rounding is the same
+# W8A8 error class as the opt-in decode GEMVs (A/B cosine 0.999997).
+#
+# MEASURED A DEAD END and left off: 8.14 -> 8.10 ms/32-layer pass (+0.5%,
+# inside run noise), and a wrong-math probe that ALSO ran the PV dot on int8
+# (no converts left at all) measured 0.98x — the kernel is NOT convert- or
+# VPU-bound. 515-525 GB/s is this box's genuine DMA plateau for the pattern
+# (contiguous 2.75MB K/V blocks, 24 grid steps/layer): chunked L-grids
+# (374 GB/s), hb/block_l sweeps, int8 score dots, and all-int8 dots all land
+# on it, and a plain XLA 4GB reduce streams at only 439 GB/s. The decode
+# attention kernel is at its floor on this hardware path.
+INT8_SCORE_DOT = False
+
 
 def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x [..., D] bf16 → (int8 [..., D], f32 scales [...]) absmax per row."""
@@ -56,7 +72,7 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, kn_ref, vn_ref,
-            o_ref, *, scale, hb, block_l):
+            o_ref, *, scale, hb, block_l, int8_score):
     """One program = one (batch, kv-head block) with the WHOLE cache block
     resident in VMEM (big DMAs stream best: an L-gridded chunk variant
     measured 374 vs 515 GB/s). The dots run on the MXU: each L-chunk of K/V
@@ -101,22 +117,36 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, kn_ref, vn_ref,
 
     for g in range(G):
         q_g = qf[:, g, :]                                # [hb, D] f32
-        # blockdiag(q): [h, h'*D+d] = q[h, d] iff h' == h
-        q_bd = jnp.where(bd_mask, jnp.tile(q_g, (1, hb)), 0.0).astype(
-            jnp.bfloat16)                                # [hb, hb*D]
-        # ---- scores: chunked convert + MXU ----
+        if int8_score:
+            # ---- scores: int8 q (per-head absmax) x raw int8 K on the MXU,
+            # no K-side convert; per-head q scales commute out of the dot
+            qmax = jnp.max(jnp.abs(q_g), axis=-1, keepdims=True)
+            qsc = jnp.maximum(qmax / 127.0, 1e-8)        # [hb, 1]
+            q8 = jnp.clip(jnp.round(q_g / qsc), -127., 127.)
+            q_bd = jnp.where(bd_mask, jnp.tile(q8, (1, hb)), 0.0).astype(
+                jnp.int8)                                # [hb, hb*D]
+        else:
+            # blockdiag(q): [h, h'*D+d] = q[h, d] iff h' == h
+            q_bd = jnp.where(bd_mask, jnp.tile(q_g, (1, hb)), 0.0).astype(
+                jnp.bfloat16)                            # [hb, hb*D]
+        # ---- scores: chunked (convert +) MXU ----
         parts = []
         start = 0
         while start < L:
             bl = min(block_l, L - start)
-            k_c = kq_ref[cp + (slice(None),
-                          slice(start, start + bl))].astype(jnp.bfloat16)
+            k_c = kq_ref[cp + (slice(None), slice(start, start + bl))]
+            if not int8_score:
+                k_c = k_c.astype(jnp.bfloat16)
             parts.append(jax.lax.dot_general(
                 q_bd, k_c, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))     # [hb, bl]
+                preferred_element_type=(jnp.int32 if int8_score
+                                        else jnp.float32)))  # [hb, bl]
             start += bl
         s = jnp.concatenate(parts, axis=-1)              # [hb, L]
-        s = s * ks * scale
+        if int8_score:
+            s = s.astype(jnp.float32) * qsc * ks * scale
+        else:
+            s = s * ks * scale
         s = jnp.where(keep, s, NEG_INF)
 
         s_new = jnp.sum(q_g * knf, axis=-1)[:, None] * scale  # [hb, 1]
@@ -176,7 +206,8 @@ def decode_attention_int8(
     vf = v_q.reshape(B, Hkv * D, L)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, hb=hb, block_l=BLOCK_L),
+        functools.partial(_kernel, scale=scale, hb=hb, block_l=BLOCK_L,
+                          int8_score=INT8_SCORE_DOT),
         grid=(B, n_hblocks),
         in_specs=[
             pl.BlockSpec((1, hb, G, D), lambda b, i: (b, i, 0, 0)),
@@ -234,7 +265,8 @@ def decode_attention_int8_layer(
 
     def kernel(lidx_ref, *refs):
         del lidx_ref
-        _kernel(*refs, scale=scale, hb=hb, block_l=BLOCK_L)
+        _kernel(*refs, scale=scale, hb=hb, block_l=BLOCK_L,
+                int8_score=INT8_SCORE_DOT)
 
     out = pl.pallas_call(
         kernel,

@@ -56,6 +56,41 @@ def test_decode_attention_int8_matches_bf16():
                                atol=0.05)
 
 
+def test_decode_attention_int8_score_dot_path():
+    """The INT8_SCORE_DOT variant (in-kernel q quantization + int8 score
+    dots) must track the default bf16-score path; it is off by default
+    (measured inside run noise on-chip) but stays covered."""
+    from grounded_video_llm_tpu.ops import decode_attention_int8 as da
+
+    rng = np.random.default_rng(3)
+    B, L, Hkv, G, D = 2, 16, 2, 2, 16
+    H = Hkv * G
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, L, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, Hkv, D)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.bfloat16)
+    mask = jnp.ones((B, L), jnp.int32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    kq = kq.transpose(0, 2, 3, 1)
+    vq = vq.transpose(0, 2, 3, 1)
+    ks = ks.transpose(0, 2, 1)[:, :, None, :]
+    vs = vs.transpose(0, 2, 1)[:, :, None, :]
+
+    args = (q, kq, ks, vq, vs, mask, kn, vn)
+    try:
+        da.INT8_SCORE_DOT = False
+        ref = np.asarray(
+            decode_attention_int8(*args, scale=D ** -0.5), np.float32)
+        da.INT8_SCORE_DOT = True
+        got = np.asarray(
+            decode_attention_int8(*args, scale=D ** -0.5), np.float32)
+    finally:
+        da.INT8_SCORE_DOT = False
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.02)
+
+
 def test_quantized_cache_generate_matches_top_tokens():
     """Greedy generation with the int8 cache should track the bf16-cache path
     (identical for well-separated logits on the micro model)."""
