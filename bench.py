@@ -45,6 +45,10 @@ DECODE_TOKENS = 64
 # BENCH_CHUNK=<clips> chunks the temporal encoder (lax.map) to cap encoder
 # transients and unlock larger batches (BENCH_BATCH=8 BENCH_CHUNK=24).
 BATCH = int(os.environ.get("BENCH_BATCH", "6"))
+# BENCH_MODEL selects the flagship: "phi3.5" (default) | "llama3" | "vicuna".
+# llama3 is 8B (int8 ~8GB weights) — use BENCH_BATCH=2; its fusion yields
+# 193 tokens/seg -> 2316 video tokens (vs phi's 3420).
+MODEL = os.environ.get("BENCH_MODEL", "phi3.5")
 ENCODER_CHUNK = (int(os.environ["BENCH_CHUNK"])
                  if os.environ.get("BENCH_CHUNK") else None)
 N_E2E_BATCHES = 3
@@ -123,9 +127,9 @@ def main():
     ensure_native_decoder()
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    cfg = vlm_config("phi3.5", stage="inference",
+    cfg = vlm_config(MODEL, stage="inference",
                      encoder_chunk_clips=ENCODER_CHUNK)
-    print(f"batch={BATCH} encoder_chunk_clips={ENCODER_CHUNK}",
+    print(f"model={MODEL} batch={BATCH} encoder_chunk_clips={ENCODER_CHUNK}",
           file=sys.stderr)
     t0 = time.time()
     # one jitted program → one compile, instead of per-initializer dispatch
@@ -298,6 +302,8 @@ def main():
     }
     if not QUANTIZE:
         record["mode"] = "bf16"  # unquantized anchor (BENCH_QUANT=0)
+    if MODEL != "phi3.5":
+        record["model"] = MODEL
     print(json.dumps(record))
 
 

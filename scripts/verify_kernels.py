@@ -13,7 +13,8 @@ Covers:
                      (Dh=96, S=3520, causal + left-pad mask + sliding window)
   flash bwd        — grounded train length (S=7516) through jax.grad
   int8 decode attn — both entry points (per-layer + stacked scalar-prefetch),
-                     cache 3584, left-pad holes
+                     cache 3584, left-pad holes; llama GQA shapes (G=4,
+                     Dh=128) incl. a GQA causal flash prefill
   int8 matmuls     — GEMV kernel + stacked layer-indexed kernel
   cache scatter    — per-row slot writes vs dynamic_update_slice
   fused IV2 GEMMs  — norm+quant+GEMM epilogues (opt-in path, still verified)
@@ -153,6 +154,47 @@ def main():
     got = jax.jit(lambda *a: decode_attention_int8_layer(
         *a, jnp.int32(2), scale=scale))(qd, kqs, kss, vqs, vss, valid, kn, vn)
     check("decode_attn_int8_layer", got, want, 5e-2, 5e-3)
+
+    # ---- llama-3 GQA shapes (H=32, Hkv=8, G=4, Dh=128): the kernel's
+    # per-group python unroll and flash's h//G kv index map are exercised
+    # with G=1 above but Mosaic-compiled nowhere else at G=4 ----
+    if not QUICK:
+        Bg, Hkvg, Dg, Lg = 4, 8, 128, 2432
+        Hqg = 32
+        kvg = rand((Bg, Lg, Hkvg, Dg), 30, 0.3)
+        vvg = rand((Bg, Lg, Hkvg, Dg), 31, 0.3)
+        qg = rand((Bg, 1, Hqg, Dg), 32, 0.3)
+        kng = rand((Bg, 1, Hkvg, Dg), 33, 0.3)
+        vng = rand((Bg, 1, Hkvg, Dg), 34, 0.3)
+        validg = jnp.asarray(np.concatenate(
+            [np.zeros((Bg, 3)), np.ones((Bg, 2000)),
+             np.zeros((Bg, Lg - 2003))], axis=1), jnp.int32)
+        kqg, ksg, vqg, vsg = jax.jit(build_qcache)(kvg, vvg)
+        scale_g = Dg ** -0.5
+        got = jax.jit(lambda *a: decode_attention_int8(*a, scale=scale_g))(
+            qg, kqg, ksg, vqg, vsg, validg, kng, vng)
+        deq_kg = (kqg.astype(jnp.float32) * ksg).transpose(0, 3, 1, 2).astype(
+            jnp.bfloat16)
+        deq_vg = (vqg.astype(jnp.float32) * vsg).transpose(0, 3, 1, 2).astype(
+            jnp.bfloat16)
+        want = jax.jit(lambda *a: decode_attention(
+            *a, k_new=kng, v_new=vng, scale=scale_g))(
+            qg, deq_kg, deq_vg, validg)
+        check("decode_attn_int8_gqa_llama", got, want, 5e-2, 5e-3)
+
+        Sg = 2316   # llama prompt length (12 segs x 193)
+        qp = rand((2, Sg, Hqg, Dg), 35)
+        kp = rand((2, Sg, Hkvg, Dg), 36)
+        vp = rand((2, Sg, Hkvg, Dg), 37)
+        maskg = jnp.asarray(np.concatenate(
+            [np.zeros((2, 5)), np.ones((2, Sg - 5))], axis=1), jnp.int32)
+        got = jax.jit(lambda a, b, c: flash_mha(
+            a, b, c, causal=True, mask=maskg))(qp, kp, vp)
+        want = jax.jit(lambda a, b, c: xla_mha(
+            a, b, c, causal=True, mask=maskg))(qp, kp, vp)
+        check("flash_fwd_prefill_gqa_llama", got[:, 5:], want[:, 5:],
+              2e-2, 2e-3)
+        assert np.isfinite(np.asarray(got)).all()
 
     # ---- int8 matmuls ----
     from grounded_video_llm_tpu.ops.int8_matmul import (
