@@ -132,34 +132,29 @@ def main():
     print(f"model={MODEL} batch={BATCH} encoder_chunk_clips={ENCODER_CHUNK}",
           file=sys.stderr)
     t0 = time.time()
-    # one jitted program → one compile, instead of per-initializer dispatch
-    params = jax.jit(lambda k: vlm.init_params(k, cfg, dtype=jnp.bfloat16))(
-        jax.random.key(0))
     if QUANTIZE:
+        # one fused init+quantize program: the LLM inits per-layer into int8
+        # via lax.scan, so the bf16 stack never materializes — llama-3-8B
+        # bf16 (16.1GB) exceeds a v5e's usable HBM, and a separate
+        # init-then-quantize pair OOMs at first use (the axon
+        # block_until_ready is not a barrier, so the failure shows up late)
         from grounded_video_llm_tpu.serve.quantize import \
-            quantize_llm_for_serving
+            init_vlm_params_serving
 
-        params = dict(params)
-        # W8A8 prefill only under the full-int8 mode (QUANTIZE_ENCODERS):
-        # plain int8 stays weight-only (prefill dequantizes per-GEMM)
-        params["llm"] = jax.jit(
-            functools.partial(quantize_llm_for_serving,
-                              w8a8=QUANTIZE_ENCODERS),
-            donate_argnums=0)(params["llm"])
+        params = jax.jit(lambda k: init_vlm_params_serving(
+            k, cfg, w8a8=QUANTIZE_ENCODERS,
+            quantize_encoders=QUANTIZE_ENCODERS))(jax.random.key(0))
         mode = "weight-only int8 (per-out-channel scales)"
         if QUANTIZE_ENCODERS:
-            mode += " + W8A8 prefill GEMMs"
-        if QUANTIZE_ENCODERS:
-            from grounded_video_llm_tpu.serve.quantize import (
-                quantize_clip_for_serving, quantize_video_encoder_for_serving)
-
-            params["video_encoder"] = jax.jit(
-                quantize_video_encoder_for_serving,
-                donate_argnums=0)(params["video_encoder"])
-            params["clip"] = jax.jit(quantize_clip_for_serving,
-                                     donate_argnums=0)(params["clip"])
-            mode += " + W8A8 encoders (dynamic activations)"
+            # W8A8 prefill only under the full-int8 mode: plain int8 stays
+            # weight-only (prefill dequantizes per-GEMM)
+            mode += (" + W8A8 prefill GEMMs"
+                     " + W8A8 encoders (dynamic activations)")
         print(f"serving mode: {mode}", file=sys.stderr)
+    else:
+        # one jitted program → one compile, not per-initializer dispatch
+        params = jax.jit(lambda k: vlm.init_params(
+            k, cfg, dtype=jnp.bfloat16))(jax.random.key(0))
     jax.block_until_ready(params)
     print(f"param init: {time.time()-t0:.1f}s", file=sys.stderr)
 

@@ -45,7 +45,12 @@ class Batch(NamedTuple):
     is_text: jnp.ndarray         # [B] bool — text-only sample (video_ids=='text')
 
 
-def init_params(key: jax.Array, cfg: VLMConfig, dtype=jnp.float32):
+def init_params(key: jax.Array, cfg: VLMConfig, dtype=jnp.float32,
+                llm_init=None):
+    """llm_init: optional (key, llm_cfg, dtype) -> tree override for the LLM
+    component — serve/quantize.init_llm_params_quantized injects a fused
+    init+quantize here so big-vocab flagships (llama-3-8B bf16 ≈ 16.1GB)
+    never materialize a full bf16 stack on one chip."""
     keys = jax.random.split(key, 6)
     H = cfg.llm.hidden_size
     C = cfg.clip.hidden_size
@@ -56,7 +61,7 @@ def init_params(key: jax.Array, cfg: VLMConfig, dtype=jnp.float32):
                                                      C, dtype),
         "video_projector": projectors.init_video_projector(
             keys[3], H, cfg.video.embed_dim, dtype),
-        "llm": llm_mod.init_params(keys[4], cfg.llm, dtype),
+        "llm": (llm_init or llm_mod.init_params)(keys[4], cfg.llm, dtype),
     }
     init = jax.nn.initializers.normal(0.02)
     if cfg.llm_name == "phi3.5":

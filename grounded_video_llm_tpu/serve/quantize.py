@@ -87,3 +87,76 @@ def quantize_clip_for_serving(params: dict) -> dict:
     out = dict(params)
     out["layers"] = layers
     return out
+
+
+def init_llm_params_quantized(key, cfg, dtype=jnp.bfloat16,
+                              w8a8: bool = False) -> dict:
+    """Random-init the LLM DIRECTLY in serving-int8 form, without ever
+    materializing the full bf16 stack.
+
+    Why: llama-3-8B bf16 is ~16.1GB against ~14.5GB of usable HBM on one
+    v5e, so jit(init) → jit(quantize, donate) cannot run — and because the
+    axon backend's block_until_ready is not a barrier, the OOM surfaces only
+    at the first real forward, far from the cause. Here a lax.scan generates
+    ONE layer's bf16 projections per step and quantizes them in the same
+    program: peak memory = the int8 stacks plus a single layer of bf16
+    transients (~0.5GB for llama-3-8B).
+
+    Tree structure/dtypes match quantize_llm_for_serving(llm.init_params(...))
+    exactly (tested); values differ only in the per-layer rng fold."""
+    import jax
+
+    D = cfg.hidden_size
+    I = cfg.intermediate_size
+    L = cfg.num_layers
+    V = cfg.padded_vocab_size
+    qkv_out = cfg.q_dim + 2 * cfg.kv_dim
+    init = jax.nn.initializers.normal(0.02)
+    keys = jax.random.split(key, 8)
+
+    shapes = (("qkv_kernel", (D, qkv_out)), ("o_kernel", (cfg.q_dim, D)),
+              ("gate_up_kernel", (D, 2 * I)), ("down_kernel", (I, D)))
+
+    def one_layer(carry, k):
+        ks = jax.random.split(k, len(shapes))
+        out = {}
+        for (name, shape), kk in zip(shapes, ks):
+            q, s = quantize_weights_int8(init(kk, shape, dtype))
+            out[name] = {"q": q, "scale": s}
+        return carry, out
+
+    _, stacks = jax.lax.scan(one_layer, 0, jax.random.split(keys[1], L))
+    layers = {"input_norm_w": jnp.ones((L, D), dtype),
+              "post_norm_w": jnp.ones((L, D), dtype)}
+    for name in QUANT_KERNELS:
+        layers[name] = dict(stacks[name])
+        if w8a8:
+            layers[name]["w8a8"] = None
+    hq, hs = quantize_weights_int8(init(keys[5], (D, V), dtype))
+    return {
+        "embed": quantize_embed_int8(init(keys[0], (V, D), dtype)),
+        "layers": layers,
+        "final_norm_w": jnp.ones((D,), dtype),
+        "lm_head": {"q": hq, "scale": hs},
+    }
+
+
+def init_vlm_params_serving(key, cfg, w8a8: bool = False,
+                            quantize_encoders: bool = False) -> dict:
+    """Full serving-quantized VLM random init as ONE traceable program (jit
+    the whole call): the LLM goes through init_llm_params_quantized (no bf16
+    stack), encoders init bf16 and quantize as intra-program transients.
+    This is the memory-safe setup path for big-vocab flagships — bench.py
+    and CLI smoke mode use it whenever int8 serving is requested."""
+    import functools
+
+    from ..models import vlm as vlm_mod
+
+    params = vlm_mod.init_params(
+        key, cfg, jnp.bfloat16,
+        llm_init=functools.partial(init_llm_params_quantized, w8a8=w8a8))
+    if quantize_encoders:
+        params["video_encoder"] = quantize_video_encoder_for_serving(
+            params["video_encoder"])
+        params["clip"] = quantize_clip_for_serving(params["clip"])
+    return params

@@ -75,3 +75,48 @@ def test_quantized_decode_matches_dense_top1():
                                   np.argmax(np.asarray(logits), -1))
     np.testing.assert_array_equal(np.argmax(ref2, -1),
                                   np.argmax(np.asarray(logits2), -1))
+
+
+def test_init_llm_params_quantized_matches_structure():
+    """The fused init+quantize path (big-vocab flagships: llama-3-8B bf16
+    does not fit one v5e, so init-then-quantize is impossible) must produce
+    exactly the tree/shapes/dtypes of quantize_llm_for_serving over a bf16
+    init, for both weight-only and w8a8 modes."""
+    from grounded_video_llm_tpu.serve.quantize import \
+        init_llm_params_quantized
+
+    for w8a8 in (False, True):
+        a = jax.jit(lambda k, w=w8a8: init_llm_params_quantized(
+            k, CFG, w8a8=w))(jax.random.key(0))
+        b = jax.jit(lambda k, w=w8a8: quantize_llm_for_serving(
+            llm_mod.init_params(k, CFG, jnp.bfloat16), w8a8=w))(
+            jax.random.key(0))
+        assert (jax.tree_util.tree_structure(a)
+                == jax.tree_util.tree_structure(b))
+        sa = jax.tree_util.tree_map(lambda x: (x.shape, str(x.dtype)), a)
+        assert sa == jax.tree_util.tree_map(
+            lambda x: (x.shape, str(x.dtype)), b)
+
+
+def test_init_vlm_params_serving_generates():
+    """The one-program serving init must drive generate end-to-end (micro
+    model, int8 cache) — this is the memory-safe setup path bench.py uses."""
+    from grounded_video_llm_tpu.core.config import micro_vlm_config
+    from grounded_video_llm_tpu.serve.generate import generate_tokens
+    from grounded_video_llm_tpu.serve.quantize import init_vlm_params_serving
+
+    cfg = micro_vlm_config()
+    params = jax.jit(lambda k: init_vlm_params_serving(
+        k, cfg, w8a8=True, quantize_encoders=True))(jax.random.key(0))
+    B, S = 1, 8
+    ids = np.full((B, S), 5, np.int32)
+    ids[:, 1] = -200
+    attn = np.ones((B, S), np.int32)
+    sp = jnp.zeros((B, cfg.num_segs, 336, 336, 3), jnp.uint8)
+    tp = jnp.zeros((B, cfg.num_frames, 224, 224, 3), jnp.uint8)
+    toks, lengths = generate_tokens(
+        params, cfg, jnp.asarray(ids), jnp.asarray(attn), sp, tp,
+        jax.random.key(1), max_new_tokens=4, temperature=0.2, do_sample=True,
+        eos_token_id=-1, pad_token_id=0, quantize_cache=True)
+    assert np.asarray(toks).shape == (B, 4)
+    assert np.all(np.asarray(lengths) >= 1)
