@@ -23,13 +23,34 @@ def build_params(
     stage_ckpt: Optional[str] = None,
     dtype=jnp.bfloat16,
     seed: int = 42,
+    quantize: Optional[str] = None,
 ) -> Dict:
     """weight_root layout mirrors the reference's *-seperated dirs:
     vision_model.pth, image_newline(s).pth, multi_modal_projector.pth,
     language_model state dict; video_encoder_path is the InternVideo2 .pt.
-    Missing pieces are randomly initialized (smoke mode)."""
-    params = jax.jit(
-        lambda k: vlm.init_params(k, cfg, dtype=dtype))(jax.random.key(seed))
+    Missing pieces are randomly initialized (smoke mode).
+
+    quantize ("int8" | "int8_full"): build the LLM ALREADY serving-quantized
+    — required for big-vocab flagships (llama-3-8B bf16 ≈ 16.1GB exceeds one
+    v5e's usable ~14.5GB, so engine-side quantize-after-load cannot run):
+    random init goes through serve/quantize.init_llm_params_quantized (per-
+    layer scan, no bf16 stack), loaded weights stream through
+    upload_llm_quantized (chunked upload+quantize). The engine detects the
+    pre-quantized tree and skips its own pass."""
+    w8a8 = quantize == "int8_full"
+    if quantize:
+        import functools
+
+        from ..serve.quantize import init_llm_params_quantized
+
+        params = jax.jit(lambda k: vlm.init_params(
+            k, cfg, dtype=dtype,
+            llm_init=functools.partial(init_llm_params_quantized,
+                                       w8a8=w8a8)))(jax.random.key(seed))
+    else:
+        params = jax.jit(
+            lambda k: vlm.init_params(k, cfg, dtype=dtype))(
+            jax.random.key(seed))
 
     def load_sd(path):
         import torch
@@ -67,7 +88,13 @@ def build_params(
                 if f.endswith((".bin", ".pth", ".pt")):
                     sd.update(load_sd(os.path.join(lm_dir, f)))
             if sd:
-                params["llm"] = cast(convert.convert_llm(sd, cfg.llm))
+                host_llm = convert.convert_llm(sd, cfg.llm)
+                if quantize:
+                    from ..serve.quantize import upload_llm_quantized
+
+                    params["llm"] = upload_llm_quantized(host_llm, w8a8=w8a8)
+                else:
+                    params["llm"] = cast(host_llm)
 
     if video_encoder_path and os.path.exists(video_encoder_path):
         params["video_encoder"] = cast(convert.convert_internvideo2(
@@ -84,11 +111,20 @@ def build_params(
         if "language_model" in modules:
             lm = modules["language_model"]
             if "model.embed_tokens.weight" in lm:
-                params["llm"]["embed"] = jnp.asarray(
-                    lm["model.embed_tokens.weight"], dtype)
+                emb = jnp.asarray(lm["model.embed_tokens.weight"], dtype)
+                if quantize:
+                    from ..serve.quantize import quantize_embed_int8
+
+                    emb = jax.jit(quantize_embed_int8)(emb)
+                params["llm"]["embed"] = emb
             if "lm_head.weight" in lm:
-                params["llm"]["lm_head"] = jnp.asarray(
-                    lm["lm_head.weight"].T, dtype)
+                head = jnp.asarray(lm["lm_head.weight"].T, dtype)
+                if quantize:
+                    from ..ops.int8_matmul import quantize_weights_int8
+
+                    q, s = jax.jit(quantize_weights_int8)(head)
+                    head = {"q": q, "scale": s}
+                params["llm"]["lm_head"] = head
     return params
 
 

@@ -55,12 +55,17 @@ class InferenceEngine:
             import jax as _jax
 
             from ..train.lora import merge_lora
-            from .quantize import quantize_llm_for_serving
+            from .quantize import is_quantized, quantize_llm_for_serving
 
             params = dict(params)
-            params["llm"] = _jax.jit(_ft.partial(
-                quantize_llm_for_serving,
-                w8a8=quantize == "int8_full"))(merge_lora(params["llm"]))
+            if not is_quantized(params["llm"].get("lm_head")):
+                # skip when build_params(quantize=...) already produced the
+                # int8 tree — big-vocab flagships (llama-3-8B) MUST take that
+                # path, since quantize-after-load needs the full bf16 stack
+                # on device (16.1GB > usable HBM)
+                params["llm"] = _jax.jit(_ft.partial(
+                    quantize_llm_for_serving,
+                    w8a8=quantize == "int8_full"))(merge_lora(params["llm"]))
             if quantize == "int8_full":
                 from .quantize import (quantize_clip_for_serving,
                                        quantize_video_encoder_for_serving)

@@ -160,3 +160,61 @@ def init_vlm_params_serving(key, cfg, w8a8: bool = False,
             params["video_encoder"])
         params["clip"] = quantize_clip_for_serving(params["clip"])
     return params
+
+
+def upload_llm_quantized(host_llm: dict, w8a8: bool = False,
+                         chunk_layers: int = 4) -> dict:
+    """Host (numpy, any float dtype) LLM tree → serving-int8 tree ON DEVICE
+    without the bf16 stack ever existing device-side. Each projection stack
+    uploads in layer chunks that are quantized into a pre-allocated int8
+    buffer (donated dynamic_update_slice → in-place); peak device memory is
+    the int8 stacks plus one chunk of bf16 (~1GB for llama-3-8B at
+    chunk_layers=4, vs 16.1GB for the full bf16 tree — more than one v5e's
+    usable HBM). Chunking also bounds host-pinned transfer buffers on the
+    ~50MB/s axon tunnel. Quantization math is chunk-invariant (per-out-
+    channel absmax over D), so the result is BIT-IDENTICAL to
+    quantize_llm_for_serving over a whole bf16 upload (tested)."""
+    import jax
+    import numpy as np
+
+    quant = jax.jit(quantize_weights_int8)
+    upd3 = jax.jit(
+        lambda buf, val, i: jax.lax.dynamic_update_slice(buf, val, (i, 0, 0)),
+        donate_argnums=0)
+    upd2 = jax.jit(
+        lambda buf, val, i: jax.lax.dynamic_update_slice(buf, val, (i, 0)),
+        donate_argnums=0)
+
+    layers_in = host_llm["layers"]
+    layers = {
+        "input_norm_w": jnp.asarray(np.asarray(layers_in["input_norm_w"]),
+                                    jnp.bfloat16),
+        "post_norm_w": jnp.asarray(np.asarray(layers_in["post_norm_w"]),
+                                   jnp.bfloat16),
+    }
+    for name in QUANT_KERNELS:
+        w = np.asarray(layers_in[name])              # [L, D, O] host
+        L, D, O = w.shape
+        qbuf = jnp.zeros((L, D, O), jnp.int8)
+        sbuf = jnp.zeros((L, O), jnp.float32)
+        for s0 in range(0, L, chunk_layers):
+            chunk = jnp.asarray(w[s0:s0 + chunk_layers].astype(np.float32),
+                                jnp.bfloat16)
+            q, s = quant(chunk)
+            qbuf = upd3(qbuf, q, s0)
+            sbuf = upd2(sbuf, s, s0)
+            del chunk
+        layers[name] = {"q": qbuf, "scale": sbuf}
+        if w8a8:
+            layers[name]["w8a8"] = None
+    hq, hs = quant(jnp.asarray(np.asarray(host_llm["lm_head"], np.float32),
+                               jnp.bfloat16))
+    return {
+        "embed": jax.jit(quantize_embed_int8)(
+            jnp.asarray(np.asarray(host_llm["embed"], np.float32),
+                        jnp.bfloat16)),
+        "layers": layers,
+        "final_norm_w": jnp.asarray(np.asarray(host_llm["final_norm_w"]),
+                                    jnp.bfloat16),
+        "lm_head": {"q": hq, "scale": hs},
+    }

@@ -53,6 +53,11 @@ def parse_args():
     # generation (reference inference.py:45-49)
     parser.add_argument("--do_sample", type=bool, default=True)
     parser.add_argument("--num_beams", type=int, default=1)
+    parser.add_argument("--quantize", type=str, default="",
+                        choices=["", "int8", "int8_full"],
+                        help="int8 serving: weight-only (int8) or + W8A8 "
+                             "GEMMs/encoders (int8_full); required to fit "
+                             "llama3-8B on one v5e")
     parser.add_argument("--max_new_tokens", type=int, default=2048)
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--top_p", type=float, default=None)
@@ -82,13 +87,15 @@ def main():
     params = build_params(
         cfg, weight_root=args.pretrained_vision_proj_llm_path or None,
         video_encoder_path=args.pretrained_video_path or None,
-        stage_ckpt=args.ckpt_path or None, seed=args.seed)
+        stage_ckpt=args.ckpt_path or None, seed=args.seed,
+        quantize=args.quantize or None)
     tokenizer = build_tokenizer(cfg, args.tokenizer_path or None)
     gen_cfg = GenerateConfig(max_new_tokens=args.max_new_tokens,
                              do_sample=args.do_sample,
                              temperature=args.temperature, top_p=args.top_p,
                              num_beams=args.num_beams)
-    engine = InferenceEngine(params, cfg, tokenizer, gen_cfg, seed=args.seed)
+    engine = InferenceEngine(params, cfg, tokenizer, gen_cfg, seed=args.seed,
+                             quantize=args.quantize or None)
 
     for mode, prompt in (("grounding", args.prompt_grounding),
                          ("qa", args.prompt_videoqa),

@@ -120,3 +120,59 @@ def test_init_vlm_params_serving_generates():
         eos_token_id=-1, pad_token_id=0, quantize_cache=True)
     assert np.asarray(toks).shape == (B, 4)
     assert np.all(np.asarray(lengths) >= 1)
+
+
+def test_upload_llm_quantized_bit_identical():
+    """The chunked upload+quantize path (real-weights loading for flagships
+    whose bf16 tree exceeds HBM) must produce BIT-IDENTICAL int8/scales to
+    quantize_llm_for_serving over a whole bf16 tree — per-out-channel absmax
+    is chunk-invariant over layers."""
+    from grounded_video_llm_tpu.serve.quantize import upload_llm_quantized
+
+    host = jax.tree_util.tree_map(
+        np.asarray,
+        jax.jit(lambda k: llm_mod.init_params(k, CFG, jnp.float32))(
+            jax.random.key(7)))
+    want = quantize_llm_for_serving(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), host),
+        w8a8=True)
+    got = upload_llm_quantized(host, w8a8=True, chunk_layers=1)
+    assert (jax.tree_util.tree_structure(got)
+            == jax.tree_util.tree_structure(want))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(want)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if a.dtype != b.dtype or "scale" in str(pa):
+            np.testing.assert_allclose(a, b, rtol=1e-6, err_msg=str(pa))
+        else:
+            # int8 values: 1-ulp scale differences (jit-vs-eager reduction
+            # order) may flip round() at exact ties on a handful of elements
+            diff = np.abs(a - b)
+            assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, str(pa)
+
+
+def test_build_params_quantized_and_engine_skip():
+    """build_params(quantize=...) returns a pre-quantized tree and the
+    engine detects it and does not re-quantize (the llama-3-8B path where
+    quantize-after-load cannot fit)."""
+    from grounded_video_llm_tpu.cli.model_loading import build_params
+    from grounded_video_llm_tpu.core.config import micro_vlm_config
+    from grounded_video_llm_tpu.serve.engine import InferenceEngine
+    from grounded_video_llm_tpu.serve.quantize import is_quantized
+
+    cfg = micro_vlm_config()
+    params = build_params(cfg, quantize="int8_full")
+    assert is_quantized(params["llm"]["lm_head"])
+    assert "w8a8" in params["llm"]["layers"]["qkv_kernel"]
+
+    class _Tok:  # engine only needs it at run() time
+        pass
+
+    eng = InferenceEngine(params, cfg, _Tok(), quantize="int8_full")
+    # the same (pre-quantized) llm object must have been kept, not rebuilt
+    assert eng.params["llm"]["lm_head"] is params["llm"]["lm_head"]
+    # int8_full still quantizes the encoders engine-side
+    assert is_quantized(eng.params["video_encoder"]["blocks"]["qkv_kernel"])
+    assert is_quantized(eng.params["clip"]["layers"]["q"]["kernel"])
