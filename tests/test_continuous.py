@@ -123,3 +123,22 @@ def test_threaded_scheduler_matches_reference(micro_model):
     for req, out in zip(reqs, outs):
         want = _reference_greedy(params, cfg, req, 5)
         np.testing.assert_array_equal(out, want)
+
+
+def test_continuous_matches_lockstep_greedy_llama_gqa():
+    """Same pool-vs-alone parity over the llama micro config (GQA G=2):
+    the grouped decode-attention unroll, GQA-shaped pool cache, and llama
+    fusion arithmetic run through continuous batching — phi (MHA) covers
+    none of those shapes."""
+    cfg = micro_vlm_config("llama3")
+    params = vlm.init_params(jax.random.key(1), cfg)
+    max_new = 5
+    reqs = _make_requests(cfg, 3)
+    server = ContinuousServer(params, cfg, pool_size=2, prompt_len=10,
+                              max_new_tokens=max_new, chunk=2,
+                              temperature=0.0, do_sample=False,
+                              eos_token_id=EOS, pad_token_id=PAD)
+    got = server.serve(reqs)
+    for i, req in enumerate(reqs):
+        want = _reference_greedy(params, cfg, req, max_new)
+        np.testing.assert_array_equal(got[i], want), i
