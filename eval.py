@@ -129,7 +129,10 @@ def main():
     params = build_params(
         cfg, weight_root=args.pretrained_vision_proj_llm_path or None,
         video_encoder_path=args.pretrained_video_path or None,
-        stage_ckpt=args.ckpt_path or None)
+        stage_ckpt=args.ckpt_path or None,
+        # pre-quantized build: required for llama3-8B (bf16 tree exceeds one
+        # v5e's usable HBM); the engine detects it and skips its own pass
+        quantize=args.quantize or None)
     tokenizer = build_tokenizer(cfg, args.tokenizer_path or None, expand=True)
     engine = InferenceEngine(
         params, cfg, tokenizer,

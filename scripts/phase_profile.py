@@ -47,7 +47,8 @@ def main():
     from grounded_video_llm_tpu.serve.quantize import quantize_llm_for_serving
 
     print(f"devices: {jax.devices()} batch={B}")
-    cfg = vlm_config("phi3.5", stage="inference")
+    cfg = vlm_config(os.environ.get("BENCH_MODEL", "phi3.5"),
+                     stage="inference")
     params = jax.jit(lambda k: vlm.init_params(k, cfg, dtype=jnp.bfloat16))(
         jax.random.key(0))
     params = dict(params)
