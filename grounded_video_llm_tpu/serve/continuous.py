@@ -59,6 +59,13 @@ class Request(NamedTuple):
     #                                       output lengths — the continuous-
     #                                       batching motivation); None →
     #                                       the server default
+    on_token: Optional[object] = None  # callable(int) fired host-side for
+    #                                    each generated token (EOS excluded)
+    #                                    as its decode chunk lands — slot-
+    #                                    level streaming (pair with
+    #                                    text.streaming.TokenTextStream for
+    #                                    incremental text). Latency =
+    #                                    chunk x ms/token.
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
@@ -192,6 +199,7 @@ class ContinuousServer:
         self.state = self._init_state(seed)
         self._slot_req: List[Optional[int]] = [None] * pool_size
         self._slot_budget = [0] * pool_size
+        self._slot_cb: List[Optional[object]] = [None] * pool_size
 
     def _init_state(self, seed: int) -> PoolState:
         lcfg = self.cfg.llm
@@ -278,14 +286,18 @@ class ContinuousServer:
                     self.gen_kwargs["do_sample"])
                 first_i = int(first[0])
                 self._slot_req[slot] = rid
+                self._slot_cb[slot] = req.on_token
                 budget = req.max_new_tokens or self.max_new_tokens
                 self._slot_budget[slot] = min(budget,
                                               self.max_new_tokens) - 1
+                if first_i != self.eos_token_id and req.on_token is not None:
+                    req.on_token(first_i)
                 emitted[rid].append(first_i)
                 if (first_i == self.eos_token_id
                         or self._slot_budget[slot] == 0):
                     results[rid] = self._finish(rid, emitted)
                     self._slot_req[slot] = None
+                    self._slot_cb[slot] = None
                     continue
                 self.state = _insert_row(
                     self.state, bcache, bvalid, bpos,
@@ -306,15 +318,19 @@ class ContinuousServer:
             # every token up to and including an EOS is real (the device
             # only pads AFTER in-chunk EOS deactivation; the break below
             # stops before any pads are read)
+            cb = self._slot_cb[slot]
             for t in toks[slot]:
                 t = int(t)
                 done = t == self.eos_token_id
                 if not done:
                     emitted[rid].append(t)
                     self._slot_budget[slot] -= 1
+                    if cb is not None:
+                        cb(t)
                 if done or self._slot_budget[slot] <= 0:
                     results[rid] = self._finish(rid, emitted)
                     self._slot_req[slot] = None
+                    self._slot_cb[slot] = None
                     self.state = self.state._replace(
                         active=self.state.active.at[slot].set(False))
                     break
