@@ -35,6 +35,35 @@ def save_pytree(path: str, tree: Any) -> None:
         ckptr.save(path, tree, force=True)
 
 
+# One long-lived async checkpointer: orbax serializes and writes on its own
+# background thread after `save` returns, so the train loop's in-interval
+# saves overlap the next steps instead of stalling them (grounded-stage
+# state is multi-GB). Each new save first waits out the previous one (orbax
+# requires it, and it bounds in-flight host memory to one checkpoint).
+_ASYNC_CKPTR = {"c": None}
+
+
+def save_pytree_async(path: str, tree: Any) -> None:
+    """Dispatch an orbax save and return once serialization is handed to the
+    background writer. Call wait_for_saves() before reading the checkpoint,
+    exiting, or letting the process die."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if _ASYNC_CKPTR["c"] is None:
+        _ASYNC_CKPTR["c"] = ocp.StandardCheckpointer()
+    c = _ASYNC_CKPTR["c"]
+    c.wait_until_finished()
+    c.save(path, tree, force=True)
+
+
+def wait_for_saves() -> None:
+    """Block until every save_pytree_async has fully committed to disk."""
+    c = _ASYNC_CKPTR["c"]
+    if c is not None:
+        c.wait_until_finished()
+
+
 def load_pytree(path: str, template: Optional[Any] = None) -> Any:
     import orbax.checkpoint as ocp
 

@@ -164,8 +164,9 @@ class TrainingStrategy:
                 if self.metrics.global_step % 10 == 0:
                     self.overwatch.info(status)
                 if save_every and self.metrics.global_step % save_every == 0:
-                    self.save_checkpoint("latest", loader)
+                    self.save_checkpoint("latest", loader, block=False)
                     self.plot_loss()
+        ckpt.wait_for_saves()
 
     def plot_loss(self) -> None:
         """Loss-curve jpg (reference base_strategy.py:104-116, dumped every
@@ -192,17 +193,27 @@ class TrainingStrategy:
     # Checkpointing
 
     def save_checkpoint(self, tag: str = "latest",
-                        loader: Optional[DataLoader] = None) -> str:
+                        loader: Optional[DataLoader] = None,
+                        block: bool = True) -> str:
+        """block=False dispatches the orbax save to its background writer so
+        training overlaps the multi-GB serialization (the in-loop interval
+        saves use it); run_training waits out any in-flight save at the end,
+        and load_resume/readers must only run after wait_for_saves()."""
         path = os.path.join(self.run_dir, f"state_{tag}")
-        ckpt.save_pytree(path, {"params": self.state.params,
-                                "opt_state": self.state.opt_state,
-                                "step": self.state.step})
+        tree = {"params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step}
+        if block:
+            ckpt.save_pytree(path, tree)
+        else:
+            ckpt.save_pytree_async(path, tree)
         if loader is not None:
             ckpt.save_json(os.path.join(self.run_dir, f"loader_{tag}.json"),
                            loader.state_dict())
         return path
 
     def load_resume(self, path: str, loader: DataLoader) -> None:
+        ckpt.wait_for_saves()   # an async interval save may still be writing
         restored = ckpt.load_pytree(path, template={
             "params": self.state.params, "opt_state": self.state.opt_state,
             "step": self.state.step})

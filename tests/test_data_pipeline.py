@@ -195,3 +195,24 @@ def test_strategy_checkpoint_resume_roundtrip(anno_file, tmp_path):
         assert int(s2.state.step) == want_step
     finally:
         STAGE_PRESETS["pretrain"] = orig
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save_pytree_async + wait_for_saves must commit an identical tree
+    (the train loop's in-interval saves run on orbax's background writer)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grounded_video_llm_tpu.core import checkpoint as ckpt
+
+    tree = {"a": jnp.arange(12.0).reshape(3, 4),
+            "b": {"c": jnp.ones((5,), jnp.bfloat16), "step": jnp.int32(7)}}
+    path = str(tmp_path / "async_state")
+    ckpt.save_pytree_async(path, tree)
+    ckpt.wait_for_saves()
+    got = ckpt.load_pytree(path, template=tree)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
