@@ -430,6 +430,10 @@ class GenerateConfig:
     temperature: float = 0.2
     top_p: Optional[float] = None
     num_beams: int = 1
+    # speculative decoding (serve/speculative.py): n-gram prompt-lookup
+    # drafts verified in one pass. 0 = off. Greedy-only (requires
+    # do_sample=False or temperature 0) and the int8 KV cache.
+    spec_draft_len: int = 0
 
 
 @dataclass(frozen=True)

@@ -597,3 +597,139 @@ def decode_step(
     x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
     logits = logits_from_hidden(params, x)[:, 0]
     return logits, new_cache, valid_mask
+
+
+def verify_step(
+    params, cfg: LLMConfig, token_embeds: jnp.ndarray,  # [B, S, D]
+    cache, valid_mask: jnp.ndarray,  # [B, max_len] — committed slots
+    positions: jnp.ndarray,          # [B, S] position ids of the S tokens
+):
+    """Speculative-verify step: score S candidate tokens (the last committed
+    token + S-1 drafts) in ONE pass over the cache. logits[:, i] is the
+    model's next-token distribution after candidate i — exactly what S
+    sequential decode_steps would produce, but the int8 cache (the decode
+    DMA bound, ops/decode_attention_int8.py) and the int8 weight stacks
+    stream ONCE for all S queries instead of once per token.
+
+    All S candidates' k/v are written at slots cache.length..+S-1, but
+    cache.length and valid_mask are NOT advanced — call commit_verify with
+    the accepted count; uncommitted slots stay invisible (valid_mask) and
+    are overwritten by the next verify/decode write. Matches the HF
+    assisted-generation candidate-verify contract
+    (reference transformers GenerationMixin; SURVEY §3.5) without cache
+    rollback — rollback is free here because validity lives in the mask.
+
+    Requires a QuantKVCache (the serving path); S ≤ 128 (one write tile)."""
+    B, S = token_embeds.shape[:2]
+    quant = isinstance(cache, QuantKVCache)
+    if not quant:
+        raise NotImplementedError(
+            "verify_step requires a QuantKVCache (int8 serving path)")
+    max_len = cache.max_len
+    cos, sin = llm_rope_tables(cfg, positions, seq_len_hint=max_len)
+    base = jnp.minimum(cache.length, max_len - S)  # [B] write base slot
+
+    # per-query attendable committed slots (sliding window per candidate
+    # position, same slot/position cancellation as decode_step)
+    if cfg.sliding_window is not None:
+        qslot = base[:, None] + jnp.arange(S)[None, :]        # [B, S]
+        window_keep = (jnp.arange(max_len)[None, None, :]
+                       > qslot[:, :, None] - cfg.sliding_window)
+        attn_valid = valid_mask.astype(bool)[:, None, :] & window_keep
+    else:
+        attn_valid = jnp.broadcast_to(valid_mask.astype(bool)[:, None, :],
+                                      (B, S, max_len))
+    attn_valid_i32 = attn_valid.astype(jnp.int32)
+
+    lay = params["layers"]
+    quant_indexed = isinstance(lay["qkv_kernel"], dict)
+
+    if quant_indexed:
+        from ..ops.decode_attention_int8 import verify_attention_int8_layer
+        from ..ops.int8_matmul import int8_matmul_layer
+
+        use_w8a8 = "w8a8" in lay["qkv_kernel"]
+
+        def mm(x2d, kern, li):
+            return int8_matmul_layer(x2d, kern["q"], kern["scale"], li,
+                                     w8a8=use_w8a8)
+
+        def body(x, xs_i):
+            norm_in, norm_post, li = xs_i
+            h = rms_norm(x, norm_in, cfg.rms_eps)
+            qkv = mm(h.reshape(B * S, -1), lay["qkv_kernel"],
+                     li).reshape(B, S, -1)
+            q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim],
+                                axis=-1)
+            q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = verify_attention_int8_layer(
+                q, cache.k, cache.k_scale, cache.v, cache.v_scale,
+                attn_valid_i32, k, v, li, scale=cfg.head_dim ** -0.5)
+            x = x + mm(attn.reshape(B * S, cfg.q_dim), lay["o_kernel"],
+                       li).reshape(B, S, -1)
+            h = rms_norm(x, norm_post, cfg.rms_eps)
+            gate_up = mm(h.reshape(B * S, -1), lay["gate_up_kernel"], li)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            x = x + mm(jax.nn.silu(gate) * up, lay["down_kernel"],
+                       li).reshape(B, S, -1)
+            return x, (k, v)
+
+        n_layers = lay["input_norm_w"].shape[0]
+        xs = (lay["input_norm_w"], lay["post_norm_w"],
+              jnp.arange(n_layers, dtype=jnp.int32))
+        x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+    else:
+        from ..ops.decode_attention_int8 import verify_attention_int8
+
+        def body(x, layer_inputs):
+            lp, k_cache, k_sc, v_cache, v_sc = layer_inputs
+            h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
+            q, k, v = _qkv(h, lp, cfg)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = verify_attention_int8(
+                q, k_cache, k_sc, v_cache, v_sc, attn_valid_i32, k, v,
+                scale=cfg.head_dim ** -0.5)
+            x = x + _dense(attn.reshape(B, S, cfg.q_dim), lp["o_kernel"],
+                           lp, "o")
+            h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
+            x = x + _mlp(h, lp, cfg)
+            return x, (k, v)
+
+        xs = (params["layers"], cache.k, cache.k_scale, cache.v,
+              cache.v_scale)
+        x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+
+    # Write ALL S candidate slots (one multi-slot Pallas scatter per side);
+    # length/valid_mask stay put — commit_verify decides how many count.
+    from ..ops.cache_write import (scatter_write_kv_multi,
+                                   scatter_write_scale_multi)
+    from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
+
+    kq, ksc = qkv_fn(new_ks)   # [Lyr,B,S,Hkv,D] i8, [Lyr,B,S,Hkv]
+    vq, vsc = qkv_fn(new_vs)
+    new_cache = QuantKVCache(
+        scatter_write_kv_multi(cache.k, kq, base),
+        scatter_write_scale_multi(cache.k_scale, ksc, base),
+        scatter_write_kv_multi(cache.v, vq, base),
+        scatter_write_scale_multi(cache.v_scale, vsc, base),
+        cache.length)
+    x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
+    logits = logits_from_hidden(params, x)     # [B, S, V]
+    return logits, new_cache
+
+
+def commit_verify(cache, valid_mask: jnp.ndarray, n_accept: jnp.ndarray,
+                  draft_len: int):
+    """Commit the first n_accept[b] of the draft_len candidate slots written
+    by verify_step: advance cache.length and reveal the slots in valid_mask.
+    Rejected slots stay invalid and are rewritten by the next verify_step."""
+    max_len = cache.max_len
+    base = jnp.minimum(cache.length, max_len - draft_len)
+    slots = jnp.arange(max_len)[None, :]
+    newly = ((slots >= base[:, None])
+             & (slots < (base + n_accept)[:, None]))
+    return (cache._replace(length=cache.length + n_accept.astype(jnp.int32)),
+            valid_mask.astype(bool) | newly)

@@ -227,6 +227,224 @@ def decode_attention_int8(
     return out.reshape(B, 1, H, D)
 
 
+def _kernel_multi(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, kn_ref,
+                  vn_ref, o_ref, *, scale, hb, block_l, n_new):
+    """Multi-query generalization of `_kernel` for speculative verification:
+    S=n_new new tokens attend the committed cache (per-query mask rows) plus
+    each other causally. With n_new=1 this reduces exactly to `_kernel`'s
+    math (the new token's k/v stay bf16 — same numerics as decode_step).
+
+    The block-diagonal q embedding grows to S rows per head
+    ([hb*S, hb*D] @ K_flat [hb*D, L]) — more MXU rows for the same cache DMA,
+    which is the whole point: one cache stream verifies S draft tokens.
+
+    Refs: q [1, hb, G, S, D]; cache as `_kernel`; mask [1, S, L];
+    kn/vn HEAD-FLAT-TRANSPOSED [1(,1), hb*D, S]; out [1, hb, G, S, D]."""
+    G = q_ref.shape[2]
+    S = n_new
+    D = q_ref.shape[4]
+    L = kq_ref.shape[-1]
+    cp = (0,) * (kq_ref.ndim - 2)                        # cache lead index
+    sp = (0,) * (ks_ref.ndim - 3)
+    np_ = (0,) * (kn_ref.ndim - 2)                       # new-kv lead index
+    keep = mask_ref[0] != 0                              # [S, L]
+    qf = q_ref[0].astype(jnp.float32)                    # [hb, G, S, D]
+    ks = ks_ref[sp + (slice(None), 0, slice(None))]      # [hb, L]
+    vs = vs_ref[sp + (slice(None), 0, slice(None))]
+    knf = kn_ref[np_].astype(jnp.bfloat16)               # [hb*D, S]
+    vnf = vn_ref[np_].astype(jnp.bfloat16)
+
+    # block-diagonal selector: row h*S+i is nonzero only in head h's columns
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hb * S, hb * D), 1) // D
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hb * S, hb * D), 0) // S
+    bd_mask = col_h == row_h
+
+    # causal mask among the S new tokens: query i sees new tokens j <= i
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    c_j = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    causal = c_j <= c_i                                  # [S, S]
+
+    # PV extraction selector: out[h, i, d] lives at y2[h*D + d, h*S + i]
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (hb * D, hb * S), 0)
+    colp = jax.lax.broadcasted_iota(jnp.int32, (hb * D, hb * S), 1)
+    sel_h = (rowp // D) == (colp // S)
+
+    for g in range(G):
+        q2 = qf[:, g].reshape(hb * S, D)                 # [hb*S, D] f32
+        q_bd = jnp.where(bd_mask, jnp.tile(q2, (1, hb)), 0.0).astype(
+            jnp.bfloat16)                                # [hb*S, hb*D]
+        # ---- cache scores: chunked convert + MXU ----
+        parts = []
+        start = 0
+        while start < L:
+            bl = min(block_l, L - start)
+            k_c = kq_ref[cp + (slice(None), slice(start, start + bl))]
+            parts.append(jax.lax.dot_general(
+                q_bd, k_c.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))     # [hb*S, bl]
+            start += bl
+        s3 = jnp.concatenate(parts, axis=-1).reshape(hb, S, L)
+        s3 = s3 * (ks * scale)[:, None, :]
+        s3 = jnp.where(keep[None], s3, NEG_INF)
+        # ---- new-token scores (bf16 keys, causal) ----
+        sn = jax.lax.dot_general(q_bd, knf, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sn3 = sn.reshape(hb, S, S) * scale
+        sn3 = jnp.where(causal[None], sn3, NEG_INF)
+        # ---- joint softmax, normalized before PV ----
+        m = jnp.maximum(jnp.max(s3, axis=-1), jnp.max(sn3, axis=-1))  # [hb,S]
+        p3 = jnp.exp(s3 - m[..., None])
+        pn3 = jnp.exp(sn3 - m[..., None])
+        denom = jnp.sum(p3, axis=-1) + jnp.sum(pn3, axis=-1)          # [hb,S]
+        p3 = p3 / denom[..., None]
+        pn3 = pn3 / denom[..., None]
+        # ---- PV: fold v scales into p, chunked convert + MXU A@B^T ----
+        pv = (p3 * vs[:, None, :]).reshape(hb * S, L).astype(jnp.bfloat16)
+        y2 = jax.lax.dot_general(
+            vnf, pn3.reshape(hb * S, S).astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [hb*D, hb*S]
+        start = 0
+        while start < L:
+            bl = min(block_l, L - start)
+            v_c = vq_ref[cp + (slice(None),
+                          slice(start, start + bl))].astype(jnp.bfloat16)
+            pv_c = jax.lax.slice(pv, (0, start), (hb * S, start + bl))
+            y2 = y2 + jax.lax.dot_general(
+                v_c, pv_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [hb*D, hb*S]
+            start += bl
+        # extract per new-token column blocks (S is small and static)
+        for i in range(S):
+            sel = sel_h & (colp % S == i)
+            out = jnp.sum(jnp.where(sel, y2, 0.0), axis=1).reshape(hb, D)
+            o_ref[0, :, g, i, :] = out.astype(o_ref.dtype)
+
+
+def verify_attention_int8(
+    q: jnp.ndarray,        # [B, S, H, D] bf16 — S new tokens' queries
+    k_q: jnp.ndarray,      # [B, Hkv, D, max_len] int8 (head-major, transposed)
+    k_s: jnp.ndarray,      # [B, Hkv, 1, max_len] f32
+    v_q: jnp.ndarray,      # [B, Hkv, D, max_len] int8
+    v_s: jnp.ndarray,      # [B, Hkv, 1, max_len] f32
+    valid_mask: jnp.ndarray,  # [B, S, max_len] per-query attendable slots
+    k_new: jnp.ndarray,    # [B, S, Hkv, D] bf16 (the S new tokens)
+    v_new: jnp.ndarray,    # [B, S, Hkv, D] bf16
+    *,
+    scale: float,
+    head_block: int = 8,
+) -> jnp.ndarray:
+    """Speculative-verify attention: S queries over cache + causal new block.
+    Returns [B, S, H, D]."""
+    B, Hkv, D, L = k_q.shape
+    S = q.shape[1]
+    H = q.shape[2]
+    G = H // Hkv
+    hb = head_block
+    while Hkv % hb != 0:
+        hb //= 2
+    n_hblocks = Hkv // hb
+
+    # [B, S, H, D] → [B, Hkv, G, S, D] (head order (hkv, g), matching _qkv)
+    qt = q.reshape(B, S, Hkv, G, D).transpose(0, 2, 3, 1, 4)
+    # new k/v head-flat-transposed: [B, S, Hkv, D] → [B, Hkv*D, S]
+    knt = k_new.transpose(0, 2, 3, 1).reshape(B, Hkv * D, S)
+    vnt = v_new.transpose(0, 2, 3, 1).reshape(B, Hkv * D, S)
+    maskt = valid_mask.astype(jnp.int32)
+    kf = k_q.reshape(B, Hkv * D, L)
+    vf = v_q.reshape(B, Hkv * D, L)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_multi, scale=scale, hb=hb,
+                          block_l=BLOCK_L, n_new=S),
+        grid=(B, n_hblocks),
+        in_specs=[
+            pl.BlockSpec((1, hb, G, S, D), lambda b, i: (b, i, 0, 0, 0)),
+            pl.BlockSpec((1, hb * D, L), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, hb, 1, L), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, hb * D, L), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, hb, 1, L), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, S, L), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, hb * D, S), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, hb * D, S), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hb, G, S, D), lambda b, i: (b, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, S, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qt, kf, k_s, vf, v_s, maskt, knt, vnt)
+    # [B, Hkv, G, S, D] → [B, S, H, D]
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)
+
+
+def verify_attention_int8_layer(
+    q: jnp.ndarray,        # [B, S, H, D] bf16
+    k_q: jnp.ndarray,      # [Lyr, B, Hkv, D, max_len] int8 (FULL stacked cache)
+    k_s: jnp.ndarray,      # [Lyr, B, Hkv, 1, max_len] f32
+    v_q: jnp.ndarray,      # [Lyr, B, Hkv, D, max_len] int8
+    v_s: jnp.ndarray,      # [Lyr, B, Hkv, 1, max_len] f32
+    valid_mask: jnp.ndarray,  # [B, S, max_len]
+    k_new: jnp.ndarray,    # [B, S, Hkv, D] bf16
+    v_new: jnp.ndarray,    # [B, S, Hkv, D] bf16
+    layer_idx: jnp.ndarray,  # [] int32
+    *,
+    scale: float,
+    head_block: int = 8,
+) -> jnp.ndarray:
+    """verify_attention_int8 over the FULL stacked cache with the layer
+    selected via scalar prefetch (same rationale as decode_attention_int8_layer:
+    pre-slicing the layer copies the whole cache per pass)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    Lyr, B, Hkv, D, L = k_q.shape
+    S = q.shape[1]
+    H = q.shape[2]
+    G = H // Hkv
+    hb = head_block
+    while Hkv % hb != 0:
+        hb //= 2
+    n_hblocks = Hkv // hb
+
+    qt = q.reshape(B, S, Hkv, G, D).transpose(0, 2, 3, 1, 4)
+    knt = k_new.transpose(0, 2, 3, 1).reshape(B, Hkv * D, S)
+    vnt = v_new.transpose(0, 2, 3, 1).reshape(B, Hkv * D, S)
+    maskt = valid_mask.astype(jnp.int32)
+    kf = k_q.reshape(Lyr, B, Hkv * D, L)
+    vf = v_q.reshape(Lyr, B, Hkv * D, L)
+
+    def kernel(lidx_ref, *refs):
+        del lidx_ref
+        _kernel_multi(*refs, scale=scale, hb=hb, block_l=BLOCK_L, n_new=S)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_hblocks),
+            in_specs=[
+                pl.BlockSpec((1, hb, G, S, D),
+                             lambda b, i, lidx: (b, i, 0, 0, 0)),
+                pl.BlockSpec((1, 1, hb * D, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0)),
+                pl.BlockSpec((1, 1, hb, 1, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
+                pl.BlockSpec((1, 1, hb * D, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0)),
+                pl.BlockSpec((1, 1, hb, 1, L),
+                             lambda b, i, lidx: (lidx[0], b, i, 0, 0)),
+                pl.BlockSpec((1, S, L), lambda b, i, lidx: (b, 0, 0)),
+                pl.BlockSpec((1, hb * D, S), lambda b, i, lidx: (b, i, 0)),
+                pl.BlockSpec((1, hb * D, S), lambda b, i, lidx: (b, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, hb, G, S, D),
+                                   lambda b, i, lidx: (b, i, 0, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, S, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
+      qt, kf, k_s, vf, v_s, maskt, knt, vnt)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, H, D)
+
+
 def decode_attention_int8_layer(
     q: jnp.ndarray,        # [B, 1, H, D] bf16
     k_q: jnp.ndarray,      # [Lyr, B, Hkv, D, max_len] int8 (FULL stacked cache)

@@ -147,6 +147,23 @@ class InferenceEngine:
                 eos_token_id=self.tokenizer.eos_token_id,
                 pad_token_id=self.tokenizer.pad_token_id,
             )
+        elif g.spec_draft_len > 0:
+            # speculative decoding: greedy-only (the verify contract emits
+            # the model's own argmax; sampled spec needs rejection sampling)
+            assert not g.do_sample or g.temperature == 0.0, (
+                "spec_draft_len requires greedy decoding "
+                "(do_sample=False or temperature=0)")
+            from .speculative import generate_tokens_spec
+
+            tokens, lengths = generate_tokens_spec(
+                self.params, self.cfg,
+                jnp.asarray(input_ids), jnp.asarray(attn_mask),
+                jnp.asarray(spatial, dtype), jnp.asarray(temporal, dtype),
+                max_new_tokens=g.max_new_tokens,
+                draft_len=g.spec_draft_len,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+            )
         else:
             tokens, lengths = generate_tokens(
                 self.params, self.cfg,

@@ -1,0 +1,163 @@
+"""Speculative (multi-token) decoding: prompt-lookup drafts + one-pass verify.
+
+Decode on this box is DMA-bound (CLAUDE.md: the int8 cache + int8 weight
+stacks stream once per token at the ~515 GB/s plateau; every compute-side
+lever measured a dead end). Speculative decoding is the one lever left that
+changes the DMA *economics*: a verify pass streams cache + weights ONCE to
+score S candidate tokens (llm.verify_step), so each accepted draft token is
+nearly free. With acceptance rate α per draft and S-1 drafts, expected
+committed tokens/pass = (1-α^S)/(1-α) for ~1 decode-pass of traffic.
+
+Drafting is DEVICE-SIDE prompt-lookup (n-gram): propose the tokens that
+followed the most recent earlier occurrence of the current bigram in the
+prompt + generated stream — zero extra model, zero host round-trips (a host
+drafter would pay the 25-30 ms axon dispatch per step, twice the token
+itself). This is the assisted-generation / prompt-lookup scheme from the HF
+generation stack the reference inherits (SURVEY §3.5) — video QA/grounding
+answers echo prompt n-grams (timestamps, object phrases) — re-expressed as a
+fixed-shape in-jit loop.
+
+Exactness contract: greedy speculative == greedy lockstep `generate_tokens`
+for ANY drafter, because emitted tokens are always the model's own argmax
+(drafts only decide how many commit per pass). Tested in
+tests/test_spec_decode.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import VLMConfig
+from ..models import llm as llm_mod
+from ..models import vlm
+
+
+def ngram_draft(buf: jnp.ndarray, ptr: jnp.ndarray, draft_len: int
+                ) -> jnp.ndarray:
+    """Prompt-lookup drafting: for each row, find the most recent position
+    p < ptr-1 where (buf[p-1], buf[p]) equals the last committed bigram and
+    propose buf[p+1 : p+1+draft_len]. No match → proposes from the buffer
+    head (harmless: wrong drafts cost nothing, the verify pass runs anyway).
+
+    buf [B, C]: committed token ids (left-padded prompt then generated,
+    pad-filled tail); ptr [B]: index one past the last committed token."""
+    B, C = buf.shape
+    t1 = jnp.take_along_axis(buf, jnp.maximum(ptr - 1, 0)[:, None], 1)
+    t2 = jnp.take_along_axis(buf, jnp.maximum(ptr - 2, 0)[:, None], 1)
+    pos = jnp.arange(1, C)[None, :]                     # match END index
+    m = (buf[:, :-1] == t2) & (buf[:, 1:] == t1)        # [B, C-1]
+    score = jnp.where(m & (pos < (ptr - 1)[:, None]), pos, -1)
+    best = jnp.max(score, axis=-1)                      # [B]
+    start = jnp.where(best >= 0, best + 1, 0)
+    idx = jnp.minimum(start[:, None] + jnp.arange(draft_len)[None, :], C - 1)
+    return jnp.take_along_axis(buf, idx, 1)             # [B, draft_len]
+
+
+class SpecState(NamedTuple):
+    cache: object               # QuantKVCache
+    valid_mask: jnp.ndarray     # [B, max_len]
+    pos_next: jnp.ndarray       # [B] position id of the next fed token
+    buf: jnp.ndarray            # [B, S_prompt + max_new] committed ids
+    step: jnp.ndarray           # [B] per-row emitted count
+    done: jnp.ndarray           # [B]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "draft_len", "eos_token_id",
+                     "pad_token_id"))
+def generate_tokens_spec(
+    params,
+    cfg: VLMConfig,
+    input_ids: jnp.ndarray,       # [B, S] left-padded, one IMAGE_TOKEN_INDEX
+    attn_mask: jnp.ndarray,       # [B, S]
+    spatial_pixels: jnp.ndarray,
+    temporal_pixels: jnp.ndarray,
+    *,
+    max_new_tokens: int,
+    draft_len: int = 4,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy speculative generation → (tokens [B, max_new], lengths [B]).
+
+    Same contract as serve.generate.generate_tokens with do_sample=False and
+    quantize_cache=True (verify_step requires the int8 cache). Greedy-only:
+    sampled speculative decoding needs distribution-preserving rejection
+    sampling — out of scope while serving defaults probe argmax anyway."""
+    B, S = input_ids.shape
+    S_v = draft_len + 1                                  # tokens per verify
+    video_features = vlm.encode_video(params, cfg, spatial_pixels,
+                                      temporal_pixels)
+    embeds, _, mask = vlm.splice_multimodal(
+        input_ids, None, attn_mask, video_features, params["llm"]["embed"])
+    S_full = embeds.shape[1]
+    # + draft margin: a verify pass may write S_v slots past the last
+    # committed token of a nearly-finished row
+    max_len = -(-(S_full + max_new_tokens + S_v) // 128) * 128
+
+    cache = llm_mod.KVCache.create(cfg.llm, B, max_len, dtype=embeds.dtype)
+    logits, cache = llm_mod.prefill(params["llm"], cfg.llm, embeds, mask,
+                                    cache, quantize_cache=True)
+
+    valid0 = jnp.zeros((B, max_len), bool).at[:, :S_full].set(
+        mask.astype(bool))
+    pos0 = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    C = S + max_new_tokens
+    buf0 = jnp.concatenate(
+        [input_ids.astype(jnp.int32),
+         jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)], axis=1)
+    buf0 = buf0.at[:, S].set(tok0)
+    done0 = tok0 == eos_token_id
+    state = SpecState(cache, valid0, pos0, buf0,
+                      jnp.ones((B,), jnp.int32), done0)
+
+    iidx = jnp.arange(S_v)[None, :]                      # [1, S_v]
+    rows = jnp.arange(B)[:, None]
+
+    def cond(st: SpecState):
+        return jnp.any(~st.done & (st.step < max_new_tokens))
+
+    def body(st: SpecState):
+        alive = ~st.done & (st.step < max_new_tokens)
+        ptr = S + st.step
+        drafts = ngram_draft(st.buf, ptr, draft_len)     # [B, K]
+        cur = jnp.take_along_axis(st.buf, (ptr - 1)[:, None], 1)  # [B, 1]
+        inputs = jnp.concatenate([cur, drafts], axis=1)  # [B, S_v]
+        token_embeds = llm_mod.embed_lookup(params["llm"]["embed"], inputs)
+        positions = st.pos_next[:, None] + iidx          # [B, S_v]
+        logits, cache = llm_mod.verify_step(
+            params["llm"], cfg.llm, token_embeds, st.cache, st.valid_mask,
+            positions)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, S_v]
+
+        # accepted inputs: cur always + the longest draft prefix the model
+        # agrees with → the first `a` outputs are model-correct
+        match = (drafts == preds[:, :-1]).astype(jnp.int32)
+        a = 1 + jnp.sum(jnp.cumprod(match, axis=-1), axis=-1)  # [B] in [1,S_v]
+
+        cache, valid = llm_mod.commit_verify(
+            cache, st.valid_mask, jnp.where(alive, a, 0), S_v)
+
+        # emitted = accepted outputs, cut at EOS and the token budget
+        is_eos = (preds == eos_token_id) & (iidx < a[:, None])
+        eos_pos = jnp.min(jnp.where(is_eos, iidx, S_v), axis=-1)
+        e = jnp.minimum(jnp.minimum(a, eos_pos + 1),
+                        max_new_tokens - st.step)
+        e = jnp.where(alive, e, 0)
+
+        cols = jnp.where(iidx < e[:, None], S + st.step[:, None] + iidx, C)
+        buf = st.buf.at[rows, cols].set(preds, mode="drop")
+        done = st.done | jnp.any(is_eos & (iidx < e[:, None]), axis=-1)
+        return SpecState(cache, valid, st.pos_next + e, buf,
+                         st.step + e, done)
+
+    final = jax.lax.while_loop(cond, body, state)
+    out = final.buf[:, S:]
+    lengths = jnp.sum(out != pad_token_id, axis=-1)
+    return out, lengths

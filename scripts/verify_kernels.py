@@ -155,6 +155,40 @@ def main():
         *a, jnp.int32(2), scale=scale))(qd, kqs, kss, vqs, vss, valid, kn, vn)
     check("decode_attn_int8_layer", got, want, 5e-2, 5e-3)
 
+    # ---- speculative verify attention (S=5 queries, one cache stream) ----
+    from grounded_video_llm_tpu.ops.decode_attention_int8 import (
+        verify_attention_int8, verify_attention_int8_layer)
+
+    S_v = 5
+    qv = rand((B, S_v, Hq, Dh), 40, 0.3)
+    knv = rand((B, S_v, Hkv, Dh), 41, 0.3)
+    vnv = rand((B, S_v, Hkv, Dh), 42, 0.3)
+    validv = jnp.broadcast_to(valid[:, None, :], (B, S_v, L))
+
+    def xla_verify(q, dk, dv, mask, kn, vn):
+        # [B,S,H,D] queries over committed cache + causal new block
+        Hn = q.shape[2]
+        G = Hn // dk.shape[2]
+        k_all = jnp.concatenate([dk, kn], axis=1)
+        v_all = jnp.concatenate([dv, vn], axis=1)
+        kv_idx = jnp.arange(Hn) // G
+        kh = k_all[:, :, kv_idx].astype(jnp.float32)
+        vh = v_all[:, :, kv_idx].astype(jnp.float32)
+        causal = jnp.tril(jnp.ones((S_v, S_v), bool))
+        m_all = jnp.concatenate(
+            [mask.astype(bool),
+             jnp.broadcast_to(causal[None], (mask.shape[0], S_v, S_v))],
+            axis=-1)
+        s = jnp.einsum("bshd,blhd->bhsl", q.astype(jnp.float32), kh) * scale
+        s = jnp.where(m_all[:, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhsl,blhd->bshd", p, vh).astype(jnp.bfloat16)
+
+    got = jax.jit(lambda *a: verify_attention_int8(*a, scale=scale))(
+        qv, kq, ks, vq, vs, validv, knv, vnv)
+    want = jax.jit(xla_verify)(qv, deq_k, deq_v, validv, knv, vnv)
+    check("verify_attn_int8", got, want, 5e-2, 5e-3)
+
     # ---- llama-3 GQA shapes (H=32, Hkv=8, G=4, Dh=128): the kernel's
     # per-group python unroll and flash's h//G kv index map are exercised
     # with G=1 above but Mosaic-compiled nowhere else at G=4 ----
@@ -244,6 +278,30 @@ def main():
     for b in range(B):
         wants[:, b, :, 0, int(idx[b])] = np.asarray(news)[:, b]
     check("scatter_write_scale", got, wants, 1e-6, 1e-6)
+
+    # ---- multi-slot scatter writes (speculative verify commit) ----
+    from grounded_video_llm_tpu.ops.cache_write import (
+        scatter_write_kv_multi, scatter_write_scale_multi)
+
+    S_w = 5
+    newm = jnp.asarray(np.random.default_rng(43).integers(
+        -127, 128, size=(Lyr2, B, S_w, Hkv, Dh)), jnp.int8)
+    newms = jnp.asarray(np.random.default_rng(44).uniform(
+        1e-3, 1e-2, size=(Lyr2, B, S_w, Hkv)), jnp.float32)
+    # bases incl. a 128-tile-boundary spanner and the array edge
+    idxm = jnp.asarray([40, 126, L - S_w] + [200] * (B - 3), jnp.int32)[:B]
+    got = jax.jit(scatter_write_kv_multi)(cache, newm, idxm)
+    wantm = np.zeros(cache.shape, np.int8)
+    for b in range(B):
+        for s in range(S_w):
+            wantm[:, b, :, :, int(idxm[b]) + s] = np.asarray(newm)[:, b, s]
+    check("scatter_write_kv_multi", got, wantm, 0, 0.5)
+    got = jax.jit(scatter_write_scale_multi)(scales, newms, idxm)
+    wantms = np.ones(scales.shape, np.float32)
+    for b in range(B):
+        for s in range(S_w):
+            wantms[:, b, :, 0, int(idxm[b]) + s] = np.asarray(newms)[:, b, s]
+    check("scatter_write_scale_multi", got, wantms, 1e-6, 1e-6)
 
     # ---- fused IV2 block GEMMs (opt-in path) ----
     if not QUICK:
