@@ -431,8 +431,9 @@ class GenerateConfig:
     top_p: Optional[float] = None
     num_beams: int = 1
     # speculative decoding (serve/speculative.py): n-gram prompt-lookup
-    # drafts verified in one pass. 0 = off. Greedy-only (requires
-    # do_sample=False or temperature 0) and the int8 KV cache.
+    # drafts verified in one pass. 0 = off. Greedy mode is token-exact vs
+    # lockstep; sampling uses delta-draft rejection (distribution-exact).
+    # Uses the int8 KV cache.
     spec_draft_len: int = 0
 
 

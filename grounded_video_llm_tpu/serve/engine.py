@@ -148,19 +148,21 @@ class InferenceEngine:
                 pad_token_id=self.tokenizer.pad_token_id,
             )
         elif g.spec_draft_len > 0:
-            # speculative decoding: greedy-only (the verify contract emits
-            # the model's own argmax; sampled spec needs rejection sampling)
-            assert not g.do_sample or g.temperature == 0.0, (
-                "spec_draft_len requires greedy decoding "
-                "(do_sample=False or temperature=0)")
+            # speculative decoding: greedy is token-exact vs lockstep;
+            # sampling uses the delta-draft rejection rule (distribution-
+            # exact, serve/speculative.py docstring)
             from .speculative import generate_tokens_spec
 
             tokens, lengths = generate_tokens_spec(
                 self.params, self.cfg,
                 jnp.asarray(input_ids), jnp.asarray(attn_mask),
                 jnp.asarray(spatial, dtype), jnp.asarray(temporal, dtype),
+                sub,
                 max_new_tokens=g.max_new_tokens,
                 draft_len=g.spec_draft_len,
+                temperature=g.temperature,
+                top_p=g.top_p,
+                do_sample=g.do_sample,
                 eos_token_id=self.tokenizer.eos_token_id,
                 pad_token_id=self.tokenizer.pad_token_id,
             )

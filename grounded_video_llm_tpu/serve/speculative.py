@@ -17,16 +17,21 @@ generation stack the reference inherits (SURVEY §3.5) — video QA/grounding
 answers echo prompt n-grams (timestamps, object phrases) — re-expressed as a
 fixed-shape in-jit loop.
 
-Exactness contract: greedy speculative == greedy lockstep `generate_tokens`
-for ANY drafter, because emitted tokens are always the model's own argmax
-(drafts only decide how many commit per pass). Tested in
-tests/test_spec_decode.py.
+Correctness contracts (tests/test_spec_decode.py):
+  * greedy: speculative == lockstep `generate_tokens` token-for-token for
+    ANY drafter (emitted tokens are always the model's own argmax; drafts
+    only decide how many commit per pass);
+  * sampling: deterministic (delta) drafts use the Leviathan et al.
+    rejection rule — accept draft d at a position with prob p(d), else
+    sample the residual p with d zeroed, renormalized — so each emitted
+    token is marginally an EXACT sample from the model distribution
+    (temperature/top-p applied), verified distributionally in tests.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +62,66 @@ def ngram_draft(buf: jnp.ndarray, ptr: jnp.ndarray, draft_len: int
     return jnp.take_along_axis(buf, idx, 1)             # [B, draft_len]
 
 
+def _top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """HF top-p semantics (serve.generate.sample_logits) on any [..., V]."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    cutoff = (cum - sorted_probs) >= top_p
+    thr = jnp.where(cutoff, jnp.inf, sorted_logits).min(-1, keepdims=True)
+    return jnp.where(logits < thr, -jnp.inf, logits)
+
+
+def spec_accept_tokens(
+    logits: jnp.ndarray,     # [B, S_v, V] verify logits (S_v = K drafts + 1)
+    drafts: jnp.ndarray,     # [B, K] deterministic draft tokens
+    rng: jax.Array,
+    temperature: float,
+    top_p: Optional[float],
+    do_sample: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The per-pass accept/emit rule → (a [B], emitted [B, S_v]).
+
+    a = number of emitted (and committed-input) tokens this pass, in
+    [1, S_v]; emitted[:, :a] are the tokens: accepted drafts then one fresh
+    token (residual sample on rejection / bonus on full acceptance).
+
+    Greedy: accept while draft == argmax; fresh token = argmax.
+    Sampling (delta drafts): accept draft d_i with prob p_i(d_i); on
+    rejection sample from max(0, p_i - 1{d_i}) renormalized — the exact
+    distribution-preserving rule for a deterministic drafter; on full
+    acceptance the bonus samples p_K directly."""
+    B, S_v, V = logits.shape
+    K = S_v - 1
+    iidx = jnp.arange(S_v)[None, :]
+    if do_sample and temperature > 0.0:
+        lg = logits.astype(jnp.float32) / temperature
+        if top_p is not None and top_p < 1.0:
+            lg = _top_p_filter(lg, top_p)
+        p = jax.nn.softmax(lg, axis=-1)                  # [B, S_v, V]
+        r_accept, r_tok = jax.random.split(rng)
+        pd = jnp.take_along_axis(p[:, :K], drafts[..., None], -1)[..., 0]
+        accept = jax.random.uniform(r_accept, (B, K)) < pd
+        # fresh token per position: residual at 0..K-1, plain sample at K
+        onehot = jax.nn.one_hot(drafts, V, dtype=p.dtype)      # [B, K, V]
+        resid = jnp.maximum(p[:, :K] - onehot, 0.0)
+        # all-zero residual ⇔ p(d)=1 ⇔ acceptance was certain; the guard
+        # row is never used but categorical needs finite logits
+        resid = jnp.where(jnp.sum(resid, -1, keepdims=True) > 0.0,
+                          resid, 1.0 / V)
+        fresh_r = jax.random.categorical(r_tok, jnp.log(resid), axis=-1)
+        fresh_b = jax.random.categorical(r_tok, lg[:, K:], axis=-1)
+        fresh = jnp.concatenate([fresh_r, fresh_b], axis=1).astype(jnp.int32)
+    else:
+        fresh = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, S_v]
+        accept = drafts == fresh[:, :-1]
+    a = 1 + jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=-1), axis=-1)
+    drafts_ext = jnp.concatenate(
+        [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)        # [B, S_v]
+    emitted = jnp.where(iidx < (a - 1)[:, None], drafts_ext, fresh)
+    return a, emitted
+
+
 class SpecState(NamedTuple):
     cache: object               # QuantKVCache
     valid_mask: jnp.ndarray     # [B, max_len]
@@ -64,12 +129,13 @@ class SpecState(NamedTuple):
     buf: jnp.ndarray            # [B, S_prompt + max_new] committed ids
     step: jnp.ndarray           # [B] per-row emitted count
     done: jnp.ndarray           # [B]
+    rng: jax.Array
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "draft_len", "eos_token_id",
-                     "pad_token_id"))
+    static_argnames=("cfg", "max_new_tokens", "draft_len", "temperature",
+                     "top_p", "do_sample", "eos_token_id", "pad_token_id"))
 def generate_tokens_spec(
     params,
     cfg: VLMConfig,
@@ -77,18 +143,23 @@ def generate_tokens_spec(
     attn_mask: jnp.ndarray,       # [B, S]
     spatial_pixels: jnp.ndarray,
     temporal_pixels: jnp.ndarray,
+    rng: jax.Array,
     *,
     max_new_tokens: int,
     draft_len: int = 4,
+    temperature: float = 0.0,
+    top_p: Optional[float] = None,
+    do_sample: bool = False,
     eos_token_id: int = 2,
     pad_token_id: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy speculative generation → (tokens [B, max_new], lengths [B]).
+    """Speculative generation → (tokens [B, max_new], lengths [B]).
 
-    Same contract as serve.generate.generate_tokens with do_sample=False and
-    quantize_cache=True (verify_step requires the int8 cache). Greedy-only:
-    sampled speculative decoding needs distribution-preserving rejection
-    sampling — out of scope while serving defaults probe argmax anyway."""
+    Same contract as serve.generate.generate_tokens with quantize_cache=True
+    (verify_step requires the int8 cache). Greedy is token-exact vs
+    lockstep; sampling is distribution-exact (see module docstring) but
+    consumes randomness differently, so individual runs differ from
+    lockstep runs the way two lockstep seeds differ from each other."""
     B, S = input_ids.shape
     S_v = draft_len + 1                                  # tokens per verify
     video_features = vlm.encode_video(params, cfg, spatial_pixels,
@@ -107,7 +178,10 @@ def generate_tokens_spec(
     valid0 = jnp.zeros((B, max_len), bool).at[:, :S_full].set(
         mask.astype(bool))
     pos0 = jnp.sum(mask, axis=-1).astype(jnp.int32)
-    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    from .generate import sample_logits
+
+    rng, sub = jax.random.split(rng)
+    tok0 = sample_logits(logits, sub, temperature, top_p, do_sample)
     C = S + max_new_tokens
     buf0 = jnp.concatenate(
         [input_ids.astype(jnp.int32),
@@ -115,7 +189,7 @@ def generate_tokens_spec(
     buf0 = buf0.at[:, S].set(tok0)
     done0 = tok0 == eos_token_id
     state = SpecState(cache, valid0, pos0, buf0,
-                      jnp.ones((B,), jnp.int32), done0)
+                      jnp.ones((B,), jnp.int32), done0, rng)
 
     iidx = jnp.arange(S_v)[None, :]                      # [1, S_v]
     rows = jnp.arange(B)[:, None]
@@ -134,28 +208,25 @@ def generate_tokens_spec(
         logits, cache = llm_mod.verify_step(
             params["llm"], cfg.llm, token_embeds, st.cache, st.valid_mask,
             positions)
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, S_v]
-
-        # accepted inputs: cur always + the longest draft prefix the model
-        # agrees with → the first `a` outputs are model-correct
-        match = (drafts == preds[:, :-1]).astype(jnp.int32)
-        a = 1 + jnp.sum(jnp.cumprod(match, axis=-1), axis=-1)  # [B] in [1,S_v]
+        rng, sub = jax.random.split(st.rng)
+        a, emitted = spec_accept_tokens(logits, drafts, sub, temperature,
+                                        top_p, do_sample)
 
         cache, valid = llm_mod.commit_verify(
             cache, st.valid_mask, jnp.where(alive, a, 0), S_v)
 
-        # emitted = accepted outputs, cut at EOS and the token budget
-        is_eos = (preds == eos_token_id) & (iidx < a[:, None])
+        # emitted count e = a, cut at EOS and the token budget
+        is_eos = (emitted == eos_token_id) & (iidx < a[:, None])
         eos_pos = jnp.min(jnp.where(is_eos, iidx, S_v), axis=-1)
         e = jnp.minimum(jnp.minimum(a, eos_pos + 1),
                         max_new_tokens - st.step)
         e = jnp.where(alive, e, 0)
 
         cols = jnp.where(iidx < e[:, None], S + st.step[:, None] + iidx, C)
-        buf = st.buf.at[rows, cols].set(preds, mode="drop")
+        buf = st.buf.at[rows, cols].set(emitted, mode="drop")
         done = st.done | jnp.any(is_eos & (iidx < e[:, None]), axis=-1)
         return SpecState(cache, valid, st.pos_next + e, buf,
-                         st.step + e, done)
+                         st.step + e, done, rng)
 
     final = jax.lax.while_loop(cond, body, state)
     out = final.buf[:, S:]

@@ -230,10 +230,46 @@ def test_spec_generate_matches_greedy_lockstep():
         temperature=0.0, eos_token_id=-2, pad_token_id=0,
         quantize_cache=True)
     got, got_len = generate_tokens_spec(
-        *args, max_new_tokens=6, draft_len=3, eos_token_id=-2,
-        pad_token_id=0)
+        *args, jax.random.key(0), max_new_tokens=6, draft_len=3,
+        do_sample=False, temperature=0.0, eos_token_id=-2, pad_token_id=0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(got_len), np.asarray(ref_len))
+
+    # sampled smoke: same loop with the rejection rule; valid token range
+    got_s, len_s = generate_tokens_spec(
+        *args, jax.random.key(1), max_new_tokens=6, draft_len=3,
+        do_sample=True, temperature=0.7, eos_token_id=-2, pad_token_id=0)
+    got_s = np.asarray(got_s)
+    assert got_s.shape == (B, 6)
+    v_total = cfg.llm.vocab_size + cfg.llm.num_extra_tokens  # logits dim
+    assert (got_s >= 0).all() and (got_s < v_total).all()
+    assert (np.asarray(len_s) == 6).all()
+
+
+def test_spec_accept_preserves_distribution():
+    """Delta-draft rejection sampling: the marginal law of the first emitted
+    token equals the model distribution exactly (Leviathan et al. for a
+    deterministic drafter). Frequencies over 40k iid rows vs softmax probs."""
+    from grounded_video_llm_tpu.serve.speculative import spec_accept_tokens
+
+    B, V, temp = 40_000, 8, 0.8
+    base_logits = jnp.asarray([1.2, 0.3, -0.5, 2.0, 0.0, -1.0, 0.7, -2.0],
+                              jnp.float32)
+    p = np.asarray(jax.nn.softmax(base_logits / temp))
+    logits = jnp.broadcast_to(base_logits[None, None, :], (B, 2, V))
+    draft_tok = 3                                       # the mode: p≈0.44
+    drafts = jnp.full((B, 1), draft_tok, jnp.int32)
+    a, emitted = spec_accept_tokens(logits, drafts, jax.random.key(7),
+                                    temp, None, True)
+    a, emitted = np.asarray(a), np.asarray(emitted)
+    freq = np.bincount(emitted[:, 0], minlength=V) / B
+    # 4σ at the largest bin ≈ 0.01
+    np.testing.assert_allclose(freq, p, atol=0.012)
+    # acceptance rate of the draft = p(draft)
+    np.testing.assert_allclose((a == 2).mean(), p[draft_tok], atol=0.012)
+    # accepted rows emit the draft; rejected rows never do (residual zeroes)
+    assert (emitted[a == 2, 0] == draft_tok).all()
+    assert (emitted[a == 1, 0] != draft_tok).all()
 
 
 def test_scatter_write_scale_multi():
