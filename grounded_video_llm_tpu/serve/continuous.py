@@ -48,6 +48,12 @@ class PoolState(NamedTuple):
     cur_token: jnp.ndarray          # [B_pool] last sampled token
     active: jnp.ndarray             # [B_pool] bool
     rng: jax.Array
+    # per-slot committed token ids (left-padded prompt then generated) +
+    # one-past-last index — the device-side n-gram drafting context for
+    # speculative chunks (serve/speculative.py). Maintained by _insert_row;
+    # dead weight (a few KB) for lockstep chunks.
+    buf: jnp.ndarray                # [B_pool, buf_len] int32
+    ptr: jnp.ndarray                # [B_pool] int32
 
 
 class Request(NamedTuple):
@@ -93,10 +99,12 @@ def _prefill_batch(params, cfg: VLMConfig, input_ids, attn_mask, spatial,
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _insert_row(state: PoolState, batch_cache: llm_mod.QuantKVCache,
-                batch_valid, batch_pos, first_token, slot, row):
+                batch_valid, batch_pos, batch_ids, first_token, slot, row,
+                pad_token):
     """Copy row `row` of a batched prefill's cache/bookkeeping into pool slot
     `slot` (slice + insert fused in one program — no intermediate row-cache
-    materialization)."""
+    materialization). batch_ids [k, S]: the prompt token ids, seeding the
+    slot's drafting context (buf/ptr) for speculative chunks."""
     def put(pool_arr, batch_arr):
         row_arr = jax.lax.dynamic_slice_in_dim(batch_arr, row, 1, axis=1)
         return jax.lax.dynamic_update_slice(
@@ -111,6 +119,14 @@ def _insert_row(state: PoolState, batch_cache: llm_mod.QuantKVCache,
             state.cache.length,
             jax.lax.dynamic_slice_in_dim(batch_cache.length, row, 1, 0),
             (slot,)))
+    S = batch_ids.shape[1]
+    buf_len = state.buf.shape[1]
+    row_ids = jax.lax.dynamic_slice_in_dim(
+        batch_ids.astype(jnp.int32), row, 1, 0)             # [1, S]
+    row_buf = jnp.concatenate(
+        [row_ids, jnp.full((1, buf_len - S), pad_token, jnp.int32)], axis=1)
+    buf = jax.lax.dynamic_update_slice(state.buf, row_buf, (slot, 0))
+    buf = buf.at[slot, S].set(first_token)
     return PoolState(
         cache,
         jax.lax.dynamic_update_slice(
@@ -121,7 +137,9 @@ def _insert_row(state: PoolState, batch_cache: llm_mod.QuantKVCache,
             jax.lax.dynamic_slice_in_dim(batch_pos, row, 1, 0), (slot,)),
         state.cur_token.at[slot].set(first_token),
         state.active.at[slot].set(True),
-        state.rng)
+        state.rng,
+        buf,
+        state.ptr.at[slot].set(S + 1))
 
 
 @functools.partial(
@@ -147,14 +165,80 @@ def _decode_chunk(params, state: PoolState, cfg: VLMConfig, *, chunk: int,
         nxt = jnp.where(st.active, nxt, pad_token_id)
         out = out.at[:, i].set(nxt)
         active = st.active & (nxt != eos_token_id)
+        # buf/ptr ride along so a later speculative chunk sees the full
+        # committed stream even if modes are mixed
+        bcol = jnp.where(st.active, jnp.minimum(st.ptr, st.buf.shape[1] - 1),
+                         st.buf.shape[1])
+        buf = st.buf.at[jnp.arange(B), bcol].set(nxt, mode="drop")
         st = PoolState(cache, valid,
                        st.positions + st.active.astype(jnp.int32),
-                       nxt, active, rng)
+                       nxt, active, rng, buf,
+                       st.ptr + st.active.astype(jnp.int32))
         return st, out
 
     out0 = jnp.full((B, chunk), pad_token_id, jnp.int32)
     state, out = jax.lax.fori_loop(0, chunk, body, (state, out0))
     return state, out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "chunk", "draft_len", "temperature",
+                              "top_p", "do_sample", "eos_token_id",
+                              "pad_token_id"),
+    donate_argnums=1)
+def _spec_chunk(params, state: PoolState, cfg: VLMConfig, *, chunk: int,
+                draft_len: int, temperature: float, top_p, do_sample: bool,
+                eos_token_id: int, pad_token_id: int):
+    """`chunk` speculative verify passes over the pool → (state,
+    tokens [B, chunk*(draft_len+1)] compacted per row, counts [B]).
+
+    Each pass drafts per-slot from the pool's committed-token buffers
+    (ngram_draft), verifies all drafts in ONE cache/weight stream
+    (llm.verify_step) and commits per-row accepted counts — the per-row
+    write bases the multi-slot scatter kernels support make ragged
+    continuous slots and speculative commits the same mechanism."""
+    from .speculative import ngram_draft, spec_accept_tokens
+
+    B = state.cur_token.shape[0]
+    S_v = draft_len + 1
+    out_w = chunk * S_v
+    iidx = jnp.arange(S_v)[None, :]
+    rows = jnp.arange(B)[:, None]
+
+    def body(i, carry):
+        st, out, cnt = carry
+        drafts = ngram_draft(st.buf, st.ptr, draft_len)
+        cur = jnp.take_along_axis(st.buf,
+                                  jnp.maximum(st.ptr - 1, 0)[:, None], 1)
+        inputs = jnp.concatenate([cur, drafts], axis=1)      # [B, S_v]
+        token_embeds = llm_mod.embed_lookup(params["llm"]["embed"], inputs)
+        positions = st.positions[:, None] + iidx
+        logits, cache = llm_mod.verify_step(
+            params["llm"], cfg.llm, token_embeds, st.cache, st.valid,
+            positions)
+        rng, sub = jax.random.split(st.rng)
+        a, emitted = spec_accept_tokens(logits, drafts, sub, temperature,
+                                        top_p, do_sample)
+        cache, valid = llm_mod.commit_verify(
+            cache, st.valid, jnp.where(st.active, a, 0), S_v)
+        is_eos = (emitted == eos_token_id) & (iidx < a[:, None])
+        eos_pos = jnp.min(jnp.where(is_eos, iidx, S_v), axis=-1)
+        e = jnp.where(st.active, jnp.minimum(a, eos_pos + 1), 0)
+        within = iidx < e[:, None]
+        out = out.at[rows, jnp.where(within, cnt[:, None] + iidx,
+                                     out_w)].set(emitted, mode="drop")
+        buf = st.buf.at[rows, jnp.where(within, st.ptr[:, None] + iidx,
+                                        st.buf.shape[1])].set(
+            emitted, mode="drop")
+        active = st.active & ~jnp.any(is_eos & within, axis=-1)
+        st = PoolState(cache, valid, st.positions + e, st.cur_token, active,
+                       rng, buf, st.ptr + e)
+        return st, out, cnt + e
+
+    out0 = jnp.full((B, out_w), pad_token_id, jnp.int32)
+    state, out, cnt = jax.lax.fori_loop(
+        0, chunk, body, (state, out0, jnp.zeros((B,), jnp.int32)))
+    return state, out, cnt
 
 
 class ContinuousServer:
@@ -170,11 +254,19 @@ class ContinuousServer:
                  chunk: int = 8, temperature: float = 0.0,
                  top_p: Optional[float] = None, do_sample: bool = False,
                  eos_token_id: int = 2, pad_token_id: int = 0,
-                 seed: int = 0, admit_batch: int = 1):
+                 seed: int = 0, admit_batch: int = 1,
+                 spec_draft_len: int = 0):
         self.params = params
         self.cfg = cfg
         self.pool_size = pool_size
         self.chunk = chunk
+        # speculative chunks (serve/speculative.py): each chunk iteration
+        # verifies spec_draft_len prompt-lookup drafts in one cache stream;
+        # a row may overshoot its budget within a chunk (retirement is
+        # host-side, between chunks) — the cache/buffer margins below cover
+        # the worst case chunk*(draft_len+1)
+        self.spec_draft_len = spec_draft_len
+        self._toks_per_iter = (spec_draft_len + 1) if spec_draft_len else 1
         # max admissions per batched prefill (buckets are powers of 2 up to
         # this). Default 1: on one v5e the batch-12-clip encoder already
         # saturates the chip at admission batch 1, and batch-2 prefills
@@ -195,7 +287,11 @@ class ContinuousServer:
         # rounded to a 128 multiple (lane padding is paid in HBM regardless;
         # the L-chunked decode kernel wants block-divisible L)
         self.max_len = -(-(prompt_len - 1 + cfg.num_video_tokens
-                           + max_new_tokens + chunk) // 128) * 128
+                           + max_new_tokens
+                           + chunk * self._toks_per_iter) // 128) * 128
+        self._prompt_len = prompt_len
+        self._buf_len = (prompt_len + max_new_tokens
+                         + chunk * self._toks_per_iter)
         self.state = self._init_state(seed)
         self._slot_req: List[Optional[int]] = [None] * pool_size
         self._slot_budget = [0] * pool_size
@@ -213,7 +309,10 @@ class ContinuousServer:
         return PoolState(cache, jnp.zeros((B, M), bool),
                          jnp.zeros((B,), jnp.int32),
                          jnp.zeros((B,), jnp.int32),
-                         jnp.zeros((B,), bool), jax.random.key(seed))
+                         jnp.zeros((B,), bool), jax.random.key(seed),
+                         jnp.full((B, self._buf_len), self.pad_token_id,
+                                  jnp.int32),
+                         jnp.zeros((B,), jnp.int32))
 
     def serve(self, requests: List[Request]) -> List[np.ndarray]:
         """→ per-request generated token arrays (EOS excluded)."""
@@ -268,9 +367,9 @@ class ContinuousServer:
             while bucket < k:
                 bucket *= 2
             idx = [take[i % k][1] for i in range(bucket)]  # pad by repeat
+            bids = jnp.stack([jnp.asarray(r.input_ids) for r in idx])
             logits, bcache, bvalid, bpos = _prefill_batch(
-                self.params, self.cfg,
-                jnp.stack([jnp.asarray(r.input_ids) for r in idx]),
+                self.params, self.cfg, bids,
                 jnp.stack([jnp.asarray(r.attn_mask) for r in idx]),
                 jnp.stack([jnp.asarray(r.spatial_pixels) for r in idx]),
                 jnp.stack([jnp.asarray(r.temporal_pixels) for r in idx]),
@@ -300,26 +399,35 @@ class ContinuousServer:
                     self._slot_cb[slot] = None
                     continue
                 self.state = _insert_row(
-                    self.state, bcache, bvalid, bpos,
+                    self.state, bcache, bvalid, bpos, bids,
                     jnp.asarray(first_i, jnp.int32),
                     jnp.asarray(slot, jnp.int32),
-                    jnp.asarray(i, jnp.int32))
+                    jnp.asarray(i, jnp.int32),
+                    jnp.asarray(self.pad_token_id, jnp.int32))
 
     def _run_chunk(self, emitted, results) -> None:
         """One jitted decode chunk over the pool + host-side retirement."""
-        self.state, toks = _decode_chunk(
-            self.params, self.state, self.cfg, chunk=self.chunk,
-            **self.gen_kwargs)
-        toks = np.asarray(toks)
+        if self.spec_draft_len:
+            self.state, toks, counts = _spec_chunk(
+                self.params, self.state, self.cfg, chunk=self.chunk,
+                draft_len=self.spec_draft_len, **self.gen_kwargs)
+            toks, counts = np.asarray(toks), np.asarray(counts)
+        else:
+            self.state, toks = _decode_chunk(
+                self.params, self.state, self.cfg, chunk=self.chunk,
+                **self.gen_kwargs)
+            toks = np.asarray(toks)
+            counts = np.full(self.pool_size, toks.shape[1])
         for slot in range(self.pool_size):
             rid = self._slot_req[slot]
             if rid is None:
                 continue
             # every token up to and including an EOS is real (the device
-            # only pads AFTER in-chunk EOS deactivation; the break below
-            # stops before any pads are read)
+            # only pads AFTER in-chunk EOS deactivation — lockstep — or
+            # compacts per-row counts — speculative; the break below stops
+            # before any pads are read)
             cb = self._slot_cb[slot]
-            for t in toks[slot]:
+            for t in toks[slot][:counts[slot]]:
                 t = int(t)
                 done = t == self.eos_token_id
                 if not done:

@@ -125,6 +125,27 @@ def test_threaded_scheduler_matches_reference(micro_model):
         np.testing.assert_array_equal(out, want)
 
 
+def test_continuous_spec_matches_lockstep_greedy(micro_model):
+    """Speculative chunks (spec_draft_len>0) through the pool must emit the
+    same greedy tokens as per-request lockstep generation — the spec verify
+    path's exactness contract, here composed with mid-stream admission,
+    per-row commit bases, and host-side budget retirement."""
+    cfg, params = micro_model
+    max_new = 6
+    reqs = _make_requests(cfg, 3)
+    budgets = [6, 3, 5]
+    reqs = [r._replace(max_new_tokens=b) for r, b in zip(reqs, budgets)]
+    server = ContinuousServer(params, cfg, pool_size=2, prompt_len=10,
+                              max_new_tokens=max_new, chunk=2,
+                              temperature=0.0, do_sample=False,
+                              eos_token_id=EOS, pad_token_id=PAD,
+                              spec_draft_len=2)
+    got = server.serve(reqs)
+    for i, req in enumerate(reqs):
+        want = _reference_greedy(params, cfg, req, budgets[i])
+        np.testing.assert_array_equal(got[i], want), i
+
+
 def test_continuous_matches_lockstep_greedy_llama_gqa():
     """Same pool-vs-alone parity over the llama micro config (GQA G=2):
     the grouped decode-attention unroll, GQA-shaped pool cache, and llama
