@@ -47,3 +47,36 @@ def test_sharded_generate_matches_single_device(mesh_shape):
                              jnp.asarray(spatial), jnp.asarray(temporal),
                              jax.random.key(0), **kwargs)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_sharded_spec_generate_matches_single_device():
+    """Speculative generation (verify kernels, multi-slot commits, in-jit
+    drafting) over FSDP/TP-sharded params == single-device greedy — the
+    spec path stays correct under the multi-chip serving shardings."""
+    assert len(jax.devices()) == 8
+    from grounded_video_llm_tpu.serve.speculative import generate_tokens_spec
+
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+
+    B, S = 1, 10
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 50, size=(B, S)).astype(np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    mask = np.ones((B, S), np.int32)
+    spatial = np.zeros((B, cfg.num_segs, 336, 336, 3), np.float32)
+    temporal = np.zeros((B, cfg.num_frames, 224, 224, 3), np.float32)
+    kwargs = dict(max_new_tokens=4, draft_len=2, do_sample=False,
+                  temperature=0.0, eos_token_id=-2, pad_token_id=0)
+
+    ref, _ = generate_tokens_spec(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(spatial), jnp.asarray(temporal), jax.random.key(0),
+        **kwargs)
+    mesh = build_mesh(data=1, fsdp=4, tensor=2)
+    sharded = shard_params(params, mesh)
+    out, _ = generate_tokens_spec(
+        sharded, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(spatial), jnp.asarray(temporal), jax.random.key(0),
+        **kwargs)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
