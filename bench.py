@@ -64,6 +64,10 @@ QUANTIZE_CACHE = QUANTIZE  # int8 KV cache, per-position-head scales
 # encoder GEMMs (int8 MXU, scripts/microbench_int8_gemm.py). BENCH_QUANT_ENC=0
 # to disable.
 QUANTIZE_ENCODERS = os.environ.get("BENCH_QUANT_ENC", "1") == "1"
+# BENCH_SPEC=<draft_len> routes decode through speculative verify passes
+# (0 = off). Random-weight benches have ~0 n-gram acceptance, so this is a
+# worst-case-overhead probe, not the headline path.
+SPEC_DRAFT = int(os.environ.get("BENCH_SPEC", "0"))
 WARMUP_ITERS = 1
 MEASURE_ITERS = 3
 VIDEO_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -173,6 +177,22 @@ def main():
     zero_temporal = jnp.zeros((B, cfg.num_frames, 224, 224, 3), jnp.uint8)
 
     def run(seed, spatial, temporal):
+        if SPEC_DRAFT:
+            # BENCH_SPEC=K: speculative decode (serve/speculative.py). On
+            # random-weight random-prompt benches the n-gram drafter never
+            # hits (acceptance ~0) so this measures the WORST-CASE verify
+            # overhead; the per-pass economics are in
+            # scripts/bench_spec_decode.py
+            from grounded_video_llm_tpu.serve.speculative import \
+                generate_tokens_spec
+
+            toks, lengths = generate_tokens_spec(
+                params, cfg, jnp.asarray(ids), jnp.asarray(attn), spatial,
+                temporal, jax.random.key(seed),
+                max_new_tokens=DECODE_TOKENS, draft_len=SPEC_DRAFT,
+                temperature=0.2, do_sample=True,
+                eos_token_id=-1, pad_token_id=0)
+            return np.asarray(toks)
         toks, lengths = generate_tokens(
             params, cfg, jnp.asarray(ids), jnp.asarray(attn), spatial,
             temporal, jax.random.key(seed),

@@ -35,6 +35,14 @@ import json
 import os
 import sys
 
+if os.environ.get("GVLLM_FORCE_CPU") == "1":
+    # Hermetic/CI runs (tests spawn this driver as a subprocess): the axon
+    # sitecustomize overrides JAX_PLATFORMS from the env, so forcing CPU
+    # needs the config call (CLAUDE.md); must land before backend init.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def parse_args():
     p = argparse.ArgumentParser()

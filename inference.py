@@ -59,6 +59,11 @@ def parse_args():
                              "GEMMs/encoders (int8_full); required to fit "
                              "llama3-8B on one v5e")
     parser.add_argument("--max_new_tokens", type=int, default=2048)
+    parser.add_argument("--spec_draft_len", type=int, default=0,
+                        help="speculative decoding: verify this many n-gram "
+                             "prompt-lookup drafts per pass (0 = off); "
+                             "greedy is token-exact, sampling uses the "
+                             "delta-draft rejection rule")
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--debug_tiny", action="store_true",
@@ -93,7 +98,8 @@ def main():
     gen_cfg = GenerateConfig(max_new_tokens=args.max_new_tokens,
                              do_sample=args.do_sample,
                              temperature=args.temperature, top_p=args.top_p,
-                             num_beams=args.num_beams)
+                             num_beams=args.num_beams,
+                             spec_draft_len=args.spec_draft_len)
     engine = InferenceEngine(params, cfg, tokenizer, gen_cfg, seed=args.seed,
                              quantize=args.quantize or None)
 

@@ -18,8 +18,12 @@ EVAL = os.path.join(REPO, "eval.py")
 
 
 def _run(args, timeout=900):
+    # GVLLM_FORCE_CPU: the subprocess must not depend on the TPU tunnel —
+    # the suite is CPU-hermetic (conftest's in-process config doesn't reach
+    # subprocesses, and a backend outage would fail the gate test)
+    env = dict(os.environ, GVLLM_FORCE_CPU="1")
     return subprocess.run([sys.executable, EVAL] + args, capture_output=True,
-                          text=True, timeout=timeout, cwd=REPO)
+                          text=True, timeout=timeout, cwd=REPO, env=env)
 
 
 def test_gate_skips_without_weights(tmp_path):
