@@ -43,20 +43,27 @@ from ..models import vlm
 
 def ngram_draft(buf: jnp.ndarray, ptr: jnp.ndarray, draft_len: int
                 ) -> jnp.ndarray:
-    """Prompt-lookup drafting: for each row, find the most recent position
-    p < ptr-1 where (buf[p-1], buf[p]) equals the last committed bigram and
-    propose buf[p+1 : p+1+draft_len]. No match → proposes from the buffer
-    head (harmless: wrong drafts cost nothing, the verify pass runs anyway).
+    """Prompt-lookup drafting: for each row, find the most recent earlier
+    position whose context matches the committed tail — TRIGRAM first
+    (stronger evidence → higher acceptance), bigram fallback — and propose
+    the draft_len tokens that followed it. No match → proposes from the
+    buffer head (harmless: wrong drafts cost nothing, the verify pass runs
+    anyway).
 
     buf [B, C]: committed token ids (left-padded prompt then generated,
     pad-filled tail); ptr [B]: index one past the last committed token."""
     B, C = buf.shape
     t1 = jnp.take_along_axis(buf, jnp.maximum(ptr - 1, 0)[:, None], 1)
     t2 = jnp.take_along_axis(buf, jnp.maximum(ptr - 2, 0)[:, None], 1)
+    t3 = jnp.take_along_axis(buf, jnp.maximum(ptr - 3, 0)[:, None], 1)
     pos = jnp.arange(1, C)[None, :]                     # match END index
-    m = (buf[:, :-1] == t2) & (buf[:, 1:] == t1)        # [B, C-1]
-    score = jnp.where(m & (pos < (ptr - 1)[:, None]), pos, -1)
-    best = jnp.max(score, axis=-1)                      # [B]
+    m2 = (buf[:, :-1] == t2) & (buf[:, 1:] == t1)       # [B, C-1]
+    m3 = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), m2[:, 1:] & (buf[:, :-2] == t3)], axis=1)
+    earlier = pos < (ptr - 1)[:, None]
+    best3 = jnp.max(jnp.where(m3 & earlier, pos, -1), axis=-1)  # [B]
+    best2 = jnp.max(jnp.where(m2 & earlier, pos, -1), axis=-1)
+    best = jnp.where(best3 >= 0, best3, best2)
     start = jnp.where(best >= 0, best + 1, 0)
     idx = jnp.minimum(start[:, None] + jnp.arange(draft_len)[None, :], C - 1)
     return jnp.take_along_axis(buf, idx, 1)             # [B, draft_len]

@@ -202,6 +202,13 @@ def test_ngram_draft():
     buf2 = jnp.asarray([[1, 2, 3, 4, 5, 0, 0, 0]], jnp.int32)
     d2 = np.asarray(ngram_draft(buf2, jnp.asarray([5]), 2))
     np.testing.assert_array_equal(d2, [[1, 2]])
+    # trigram beats the more recent bigram-only match: tail (8,1,2); the
+    # bigram (1,2) recurs at pos 6-7 (context 7 — wrong) and pos 1-2
+    # (context 8 — right); the trigram match wins → drafts [5, 9, 7]
+    buf3 = jnp.asarray([[8, 1, 2, 5, 9, 7, 1, 2, 4, 6, 8, 1, 2, 0, 0, 0]],
+                       jnp.int32)
+    d3 = np.asarray(ngram_draft(buf3, jnp.asarray([13]), 3))
+    np.testing.assert_array_equal(d3, [[5, 9, 7]])
 
 
 def test_spec_generate_matches_greedy_lockstep():
