@@ -435,6 +435,11 @@ class GenerateConfig:
     # lockstep; sampling uses delta-draft rejection (distribution-exact).
     # Uses the int8 KV cache.
     spec_draft_len: int = 0
+    # int8 KV cache for lockstep decode (models/llm.py QuantKVCache + the
+    # Pallas dequant-in-VMEM decode attention) — the serving-stack decode
+    # path (12.4 ms/tok vs ~17 bf16 at batch 6; CLAUDE.md). Ignored by beam
+    # search; speculative decoding always uses it.
+    quantize_cache: bool = False
 
 
 @dataclass(frozen=True)

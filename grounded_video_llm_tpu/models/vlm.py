@@ -25,6 +25,7 @@ XLA fuses; no windowed reduce needed.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -192,6 +193,14 @@ def encode_video(params, cfg: VLMConfig, spatial_pixels: jnp.ndarray,
     newline = newline.astype(image_feats.dtype)
     video = jnp.concatenate([image_feats, seg_feats, newline], axis=2)
     return video.reshape(B, S_segs * video.shape[2], H)
+
+
+# Standalone jitted encode — module-level so serving reuses ONE jit instance
+# (a fresh jax.jit per call recompiles; CLAUDE.md). The feature-cache path
+# (serve/engine.py) encodes each unique video once through this program and
+# runs queries through generate_tokens_from_features.
+encode_video_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "freeze_encoders"))(encode_video)
 
 
 # ---------------------------------------------------------------------------

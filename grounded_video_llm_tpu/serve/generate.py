@@ -59,32 +59,27 @@ class DecodeState(NamedTuple):
     rng: jax.Array
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
-                     "do_sample", "eos_token_id", "pad_token_id",
-                     "quantize_cache"))
-def generate_tokens(
+def _generate_from_features(
     params,
     cfg: VLMConfig,
-    input_ids: jnp.ndarray,       # [B, S] left-padded, one IMAGE_TOKEN_INDEX
-    attn_mask: jnp.ndarray,       # [B, S]
-    spatial_pixels: jnp.ndarray,  # [B, num_segs, 336, 336, 3]
-    temporal_pixels: jnp.ndarray,  # [B, num_frames, 224, 224, 3]
+    input_ids: jnp.ndarray,        # [B, S] left-padded, one IMAGE_TOKEN_INDEX
+    attn_mask: jnp.ndarray,        # [B, S]
+    video_features: jnp.ndarray,   # [B, NV, H_llm] from vlm.encode_video
     rng: jax.Array,
     *,
     max_new_tokens: int,
-    temperature: float = 0.2,
-    top_p: Optional[float] = None,
-    do_sample: bool = True,
-    eos_token_id: int = 2,
-    pad_token_id: int = 0,
-    quantize_cache: bool = False,
+    temperature: float,
+    top_p: Optional[float],
+    do_sample: bool,
+    eos_token_id: int,
+    pad_token_id: int,
+    quantize_cache: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """→ (tokens [B, max_new_tokens] pad-filled after EOS, lengths [B])."""
+    """Shared splice → prefill → decode-loop body. Traced under BOTH the
+    fused pixels-in program (generate_tokens, the single-dispatch headline
+    path) and the from-features program (generate_tokens_from_features, the
+    feature-cache path: encode once per unique video, generate per query)."""
     B, S = input_ids.shape
-    video_features = vlm.encode_video(params, cfg, spatial_pixels,
-                                      temporal_pixels)
     embeds, _, mask = vlm.splice_multimodal(
         input_ids, None, attn_mask, video_features, params["llm"]["embed"])
     S_full = embeds.shape[1]
@@ -131,6 +126,68 @@ def generate_tokens(
     final = jax.lax.while_loop(cond, body, state)
     lengths = jnp.sum((final.out_tokens != pad_token_id), axis=-1)
     return final.out_tokens, lengths
+
+
+_GEN_STATICS = ("cfg", "max_new_tokens", "temperature", "top_p", "do_sample",
+                "eos_token_id", "pad_token_id", "quantize_cache")
+
+
+@functools.partial(jax.jit, static_argnames=_GEN_STATICS)
+def generate_tokens(
+    params,
+    cfg: VLMConfig,
+    input_ids: jnp.ndarray,       # [B, S] left-padded, one IMAGE_TOKEN_INDEX
+    attn_mask: jnp.ndarray,       # [B, S]
+    spatial_pixels: jnp.ndarray,  # [B, num_segs, 336, 336, 3]
+    temporal_pixels: jnp.ndarray,  # [B, num_frames, 224, 224, 3]
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    temperature: float = 0.2,
+    top_p: Optional[float] = None,
+    do_sample: bool = True,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+    quantize_cache: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (tokens [B, max_new_tokens] pad-filled after EOS, lengths [B])."""
+    video_features = vlm.encode_video(params, cfg, spatial_pixels,
+                                      temporal_pixels)
+    return _generate_from_features(
+        params, cfg, input_ids, attn_mask, video_features, rng,
+        max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
+        do_sample=do_sample, eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id, quantize_cache=quantize_cache)
+
+
+@functools.partial(jax.jit, static_argnames=_GEN_STATICS)
+def generate_tokens_from_features(
+    params,
+    cfg: VLMConfig,
+    input_ids: jnp.ndarray,       # [B, S]
+    attn_mask: jnp.ndarray,       # [B, S]
+    video_features: jnp.ndarray,  # [B, NV, H_llm]
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    temperature: float = 0.2,
+    top_p: Optional[float] = None,
+    do_sample: bool = True,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+    quantize_cache: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """generate_tokens from PRECOMPUTED video features (vlm.encode_video
+    output). The feature-cache serving path: grounding/QA eval asks several
+    queries per video (Charades-STA ≈2.8), and encode is ~80% of per-request
+    device time — encode each unique video once, then batch queries over the
+    cached features (serve/engine.py run_stream_cached). Token-identical to
+    generate_tokens given the same features and rng."""
+    return _generate_from_features(
+        params, cfg, input_ids, attn_mask, video_features, rng,
+        max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
+        do_sample=do_sample, eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id, quantize_cache=quantize_cache)
 
 
 def decode_texts(tokenizer, tokens, lengths, eos_token_id: int):

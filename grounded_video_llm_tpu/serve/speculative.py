@@ -139,38 +139,27 @@ class SpecState(NamedTuple):
     rng: jax.Array
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "draft_len", "temperature",
-                     "top_p", "do_sample", "eos_token_id", "pad_token_id"))
-def generate_tokens_spec(
+def _spec_from_features(
     params,
     cfg: VLMConfig,
     input_ids: jnp.ndarray,       # [B, S] left-padded, one IMAGE_TOKEN_INDEX
     attn_mask: jnp.ndarray,       # [B, S]
-    spatial_pixels: jnp.ndarray,
-    temporal_pixels: jnp.ndarray,
+    video_features: jnp.ndarray,  # [B, NV, H_llm]
     rng: jax.Array,
     *,
     max_new_tokens: int,
-    draft_len: int = 4,
-    temperature: float = 0.0,
-    top_p: Optional[float] = None,
-    do_sample: bool = False,
-    eos_token_id: int = 2,
-    pad_token_id: int = 0,
+    draft_len: int,
+    temperature: float,
+    top_p: Optional[float],
+    do_sample: bool,
+    eos_token_id: int,
+    pad_token_id: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Speculative generation → (tokens [B, max_new], lengths [B]).
-
-    Same contract as serve.generate.generate_tokens with quantize_cache=True
-    (verify_step requires the int8 cache). Greedy is token-exact vs
-    lockstep; sampling is distribution-exact (see module docstring) but
-    consumes randomness differently, so individual runs differ from
-    lockstep runs the way two lockstep seeds differ from each other."""
+    """Shared splice → prefill → draft/verify loop body, traced under both
+    the fused pixels-in program (generate_tokens_spec) and the from-features
+    program (generate_tokens_spec_from_features, the feature-cache path)."""
     B, S = input_ids.shape
     S_v = draft_len + 1                                  # tokens per verify
-    video_features = vlm.encode_video(params, cfg, spatial_pixels,
-                                      temporal_pixels)
     embeds, _, mask = vlm.splice_multimodal(
         input_ids, None, attn_mask, video_features, params["llm"]["embed"])
     S_full = embeds.shape[1]
@@ -239,3 +228,70 @@ def generate_tokens_spec(
     out = final.buf[:, S:]
     lengths = jnp.sum(out != pad_token_id, axis=-1)
     return out, lengths
+
+
+_SPEC_STATICS = ("cfg", "max_new_tokens", "draft_len", "temperature",
+                 "top_p", "do_sample", "eos_token_id", "pad_token_id")
+
+
+@functools.partial(jax.jit, static_argnames=_SPEC_STATICS)
+def generate_tokens_spec(
+    params,
+    cfg: VLMConfig,
+    input_ids: jnp.ndarray,       # [B, S] left-padded, one IMAGE_TOKEN_INDEX
+    attn_mask: jnp.ndarray,       # [B, S]
+    spatial_pixels: jnp.ndarray,
+    temporal_pixels: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    draft_len: int = 4,
+    temperature: float = 0.0,
+    top_p: Optional[float] = None,
+    do_sample: bool = False,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Speculative generation → (tokens [B, max_new], lengths [B]).
+
+    Same contract as serve.generate.generate_tokens with quantize_cache=True
+    (verify_step requires the int8 cache). Greedy is token-exact vs
+    lockstep; sampling is distribution-exact (see module docstring) but
+    consumes randomness differently, so individual runs differ from
+    lockstep runs the way two lockstep seeds differ from each other."""
+    video_features = vlm.encode_video(params, cfg, spatial_pixels,
+                                      temporal_pixels)
+    return _spec_from_features(
+        params, cfg, input_ids, attn_mask, video_features, rng,
+        max_new_tokens=max_new_tokens, draft_len=draft_len,
+        temperature=temperature, top_p=top_p, do_sample=do_sample,
+        eos_token_id=eos_token_id, pad_token_id=pad_token_id)
+
+
+@functools.partial(jax.jit, static_argnames=_SPEC_STATICS)
+def generate_tokens_spec_from_features(
+    params,
+    cfg: VLMConfig,
+    input_ids: jnp.ndarray,       # [B, S]
+    attn_mask: jnp.ndarray,       # [B, S]
+    video_features: jnp.ndarray,  # [B, NV, H_llm]
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    draft_len: int = 4,
+    temperature: float = 0.0,
+    top_p: Optional[float] = None,
+    do_sample: bool = False,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """generate_tokens_spec from PRECOMPUTED video features — the
+    feature-cache path (serve/engine.run_stream_cached): eval workloads with
+    repeated videos compound the encode dedup with the verify-pass decode
+    amortization. Token-identical to generate_tokens_spec given the same
+    features and rng."""
+    return _spec_from_features(
+        params, cfg, input_ids, attn_mask, video_features, rng,
+        max_new_tokens=max_new_tokens, draft_len=draft_len,
+        temperature=temperature, top_p=top_p, do_sample=do_sample,
+        eos_token_id=eos_token_id, pad_token_id=pad_token_id)

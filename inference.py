@@ -13,6 +13,15 @@ import random
 
 import numpy as np
 
+if os.environ.get("GVLLM_FORCE_CPU") == "1":
+    # Hermetic/CI smoke runs: the axon sitecustomize overrides JAX_PLATFORMS
+    # from the env, so forcing CPU needs the config call (CLAUDE.md); must
+    # land before backend init. Same escape hatch as eval.py — without it a
+    # TPU-backend outage hangs the CLI instead of falling back.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def parse_args():
     parser = argparse.ArgumentParser()
