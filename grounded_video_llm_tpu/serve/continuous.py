@@ -72,6 +72,14 @@ class Request(NamedTuple):
     #                                    text.streaming.TokenTextStream for
     #                                    incremental text). Latency =
     #                                    chunk x ms/token.
+    features: Optional[np.ndarray] = None  # [NV, H_llm] precomputed
+    #                                    vlm.encode_video features (e.g. the
+    #                                    engine's video-feature cache for
+    #                                    repeated-video workloads). When set,
+    #                                    pixels are ignored (pass zeros) and
+    #                                    admission prefill skips the encoders
+    #                                    — encode was ~80% of the measured
+    #                                    batch-1 admission cost.
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
@@ -81,8 +89,25 @@ def _prefill_batch(params, cfg: VLMConfig, input_ids, attn_mask, spatial,
     at pool cache size. Admission batches amortize the dual-stream encoder —
     batch-1 admission prefills measured 83% of continuous-serving wall time
     (scripts/bench_continuous.py)."""
-    k = input_ids.shape[0]
     video_features = vlm.encode_video(params, cfg, spatial, temporal)
+    return _prefill_features_body(params, cfg, input_ids, attn_mask,
+                                  video_features, max_len)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
+def _prefill_batch_from_features(params, cfg: VLMConfig, input_ids,
+                                 attn_mask, video_features, max_len: int):
+    """_prefill_batch from PRECOMPUTED features [k, NV, H] (Request.features
+    — the engine's video-feature cache): admission for a repeated video pays
+    only the text prefill, not the dual-stream encode that dominated the
+    measured batch-1 admission cost."""
+    return _prefill_features_body(params, cfg, input_ids, attn_mask,
+                                  video_features, max_len)
+
+
+def _prefill_features_body(params, cfg, input_ids, attn_mask,
+                           video_features, max_len: int):
+    k = input_ids.shape[0]
     embeds, _, mask = vlm.splice_multimodal(
         input_ids, None, attn_mask, video_features, params["llm"]["embed"])
     S_full = embeds.shape[1]
@@ -336,9 +361,15 @@ class ContinuousServer:
         dominated batch-1 admission cost on tunneled backends (~18.5MB/video
         uint8). The scheduler calls this at submit time; serve() stages its
         whole request list upfront (~19MB/request of HBM)."""
-        return req._replace(
+        staged = req._replace(
             input_ids=jax.device_put(jnp.asarray(req.input_ids)),
-            attn_mask=jax.device_put(jnp.asarray(req.attn_mask)),
+            attn_mask=jax.device_put(jnp.asarray(req.attn_mask)))
+        if req.features is not None:
+            # feature-backed request: stage the features (~20MB bf16 at
+            # flagship), skip the pixel transfers entirely
+            return staged._replace(
+                features=jax.device_put(jnp.asarray(req.features)))
+        return staged._replace(
             spatial_pixels=jax.device_put(jnp.asarray(req.spatial_pixels)),
             temporal_pixels=jax.device_put(jnp.asarray(req.temporal_pixels)))
 
@@ -361,6 +392,14 @@ class ContinuousServer:
             if not free:
                 return
             take = pending[: min(len(free), self.admit_batch)]
+            # a batched prefill is ONE program — feature-backed and
+            # pixel-backed requests can't mix, so cut the take at the first
+            # type switch (admit_batch defaults to 1; no-op there)
+            want_feats = take[0][1].features is not None
+            for j in range(1, len(take)):
+                if (take[j][1].features is not None) != want_feats:
+                    take = take[:j]
+                    break
             del pending[: len(take)]
             k = len(take)
             bucket = 1
@@ -368,12 +407,18 @@ class ContinuousServer:
                 bucket *= 2
             idx = [take[i % k][1] for i in range(bucket)]  # pad by repeat
             bids = jnp.stack([jnp.asarray(r.input_ids) for r in idx])
-            logits, bcache, bvalid, bpos = _prefill_batch(
-                self.params, self.cfg, bids,
-                jnp.stack([jnp.asarray(r.attn_mask) for r in idx]),
-                jnp.stack([jnp.asarray(r.spatial_pixels) for r in idx]),
-                jnp.stack([jnp.asarray(r.temporal_pixels) for r in idx]),
-                self.max_len)
+            battn = jnp.stack([jnp.asarray(r.attn_mask) for r in idx])
+            if want_feats:
+                logits, bcache, bvalid, bpos = _prefill_batch_from_features(
+                    self.params, self.cfg, bids, battn,
+                    jnp.stack([jnp.asarray(r.features) for r in idx]),
+                    self.max_len)
+            else:
+                logits, bcache, bvalid, bpos = _prefill_batch(
+                    self.params, self.cfg, bids, battn,
+                    jnp.stack([jnp.asarray(r.spatial_pixels) for r in idx]),
+                    jnp.stack([jnp.asarray(r.temporal_pixels) for r in idx]),
+                    self.max_len)
             self.state = self.state._replace(
                 rng=jax.random.split(self.state.rng)[0])
             for i, (rid, req) in enumerate(take):

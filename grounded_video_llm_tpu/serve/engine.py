@@ -424,6 +424,37 @@ class InferenceEngine:
                                                  intervals)
         return results
 
+    def make_continuous_request(self, video_path: str, prompt: str,
+                                mode: str = "qa", prompt_len: int = 64,
+                                max_new_tokens: Optional[int] = None,
+                                on_token=None):
+        """Build a feature-backed continuous-batching Request
+        (serve/continuous.py) through the video-feature cache: repeated
+        videos skip the dual-stream encode at admission (the dominant
+        admission cost), paying only the text prefill."""
+        from .continuous import Request
+        from ..text.tokenizer import pad_batch_generate, tokenize_with_image
+
+        features, duration = self.encode_video_cached(video_path)
+        text_prompt = self.build_prompt(prompt, mode, duration)
+        seq = tokenize_with_image(text_prompt, self.tokenizer)
+        # left-pad to the server's FIXED prompt bucket (pad_batch_generate
+        # pads to the batch max; a continuous pool wants one static width)
+        input_ids, attn_mask = pad_batch_generate(
+            [seq], self.tokenizer.pad_token_id, prompt_len)
+        short = prompt_len - input_ids.shape[1]
+        if short > 0:
+            input_ids = np.concatenate(
+                [np.full((1, short), self.tokenizer.pad_token_id, np.int32),
+                 input_ids], axis=1)
+            attn_mask = np.concatenate(
+                [np.zeros((1, short), np.int32), attn_mask], axis=1)
+        return Request(
+            input_ids=input_ids[0], attn_mask=attn_mask[0],
+            spatial_pixels=None, temporal_pixels=None,
+            max_new_tokens=max_new_tokens, on_token=on_token,
+            features=np.asarray(features)), duration
+
     def run(self, video_path: str, prompt: str, mode: str = "qa",
             gen_cfg: Optional[GenerateConfig] = None) -> InferenceResult:
         temporal, spatial, duration = self.preprocess_video(video_path)

@@ -163,3 +163,54 @@ def test_continuous_matches_lockstep_greedy_llama_gqa():
     for i, req in enumerate(reqs):
         want = _reference_greedy(params, cfg, req, max_new)
         np.testing.assert_array_equal(got[i], want), i
+
+
+def _featureize(params, cfg, reqs):
+    """Pixel requests → feature-backed requests (Request.features), pixels
+    zeroed to prove they're unused."""
+    zsp = np.zeros_like(reqs[0].spatial_pixels)
+    ztp = np.zeros_like(reqs[0].temporal_pixels)
+    out = []
+    for r in reqs:
+        f = np.asarray(vlm.encode_video_jit(
+            params, cfg, jnp.asarray(r.spatial_pixels[None]),
+            jnp.asarray(r.temporal_pixels[None]))[0])
+        out.append(r._replace(features=f, spatial_pixels=zsp,
+                              temporal_pixels=ztp))
+    return out
+
+
+def test_feature_backed_requests_match_pixel_requests(micro_model):
+    """Requests carrying precomputed features (the engine's video-feature
+    cache) admit through _prefill_batch_from_features and must generate the
+    same tokens as pixel-backed admission."""
+    cfg, params = micro_model
+    max_new = 5
+    reqs = _make_requests(cfg, 3)
+    kw = dict(pool_size=2, prompt_len=10, max_new_tokens=max_new, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD)
+    got_pix = ContinuousServer(params, cfg, **kw).serve(reqs)
+    got_feat = ContinuousServer(params, cfg, **kw).serve(
+        _featureize(params, cfg, reqs))
+    for i, (a, b) in enumerate(zip(got_pix, got_feat)):
+        np.testing.assert_array_equal(a, b), i
+
+
+def test_mixed_admission_does_not_mix_programs(micro_model):
+    """admit_batch=2 with alternating pixel/feature requests: the take must
+    cut at the type switch and still produce lockstep-parity tokens."""
+    cfg, params = micro_model
+    max_new = 4
+    reqs = _make_requests(cfg, 4)
+    feat = _featureize(params, cfg, reqs[1::2])
+    mixed = [reqs[0], feat[0], reqs[2], feat[1]]
+    server = ContinuousServer(params, cfg, pool_size=4, prompt_len=10,
+                              max_new_tokens=max_new, chunk=2,
+                              temperature=0.0, do_sample=False,
+                              eos_token_id=EOS, pad_token_id=PAD,
+                              admit_batch=2)
+    got = server.serve(mixed)
+    for i, req in enumerate([reqs[0], reqs[1], reqs[2], reqs[3]]):
+        want = _reference_greedy(params, cfg, req, max_new)
+        np.testing.assert_array_equal(got[i], want), i

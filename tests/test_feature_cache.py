@@ -215,3 +215,28 @@ def test_eval_routes_duplicates_through_cache():
     eng2.feature_cache_size = 0
     eval_mod._run_items(eng2, dup, ["p"] * 3, "grounding", "", 2)
     assert eng2.called == ["plain"]
+
+
+def test_make_continuous_request(micro_model, two_videos):
+    """Engine → feature-backed continuous Request: encode dedup via the
+    cache, fixed prompt bucket, exactly one image token, servable."""
+    from grounded_video_llm_tpu.serve.continuous import ContinuousServer
+
+    cfg, params, tok = micro_model
+    eng, calls = _counting_engine(params, cfg, tok, cache_size=4)
+    r1, d1 = eng.make_continuous_request(two_videos[0], "what happens?",
+                                         prompt_len=256)
+    r2, d2 = eng.make_continuous_request(two_videos[0], "when exactly?",
+                                         prompt_len=256)
+    assert len(calls) == 1  # same video encodes once
+    assert d1 == d2
+    assert r1.input_ids.shape == (256,) and r1.attn_mask.shape == (256,)
+    assert int(np.sum(r1.input_ids == IMAGE_TOKEN_INDEX)) == 1
+    assert r1.features is not None and r1.spatial_pixels is None
+    server = ContinuousServer(
+        params, cfg, pool_size=2, prompt_len=256, max_new_tokens=4, chunk=2,
+        temperature=0.0, do_sample=False, eos_token_id=tok.eos_token_id,
+        pad_token_id=tok.pad_token_id)
+    out = server.serve([r1, r2])
+    assert len(out) == 2
+    assert all(o.dtype == np.int32 for o in out)
