@@ -210,6 +210,7 @@ def forward_hidden(
     quantize_kv: bool = False,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    rope_hint: Optional[int] = None,
 ):
     """Run all decoder layers; returns (hidden [B,S,D], stacked (k,v) or None).
 
@@ -237,7 +238,13 @@ def forward_hidden(
             positions = jnp.maximum(jnp.cumsum(attn_mask, axis=-1) - 1, 0)
         else:
             positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
-    rope_hint = kv_pad_to if (collect_kv and kv_pad_to is not None) else S
+    if rope_hint is None:
+        # LongRoPE factor selection (docstring above): default to the cache
+        # capacity when prefilling into one, else the sequence length.
+        # Callers that split one logical sequence across programs (prefix-KV
+        # serving, models/llm.prefill_continue) pass the FINAL cache capacity
+        # explicitly so every program picks the same factor set.
+        rope_hint = kv_pad_to if (collect_kv and kv_pad_to is not None) else S
     cos, sin = llm_rope_tables(cfg, positions, seq_len_hint=rope_hint)
     x = inputs_embeds
 
@@ -420,6 +427,158 @@ def prefill(
     k_stack, v_stack = kvs  # [L, B, max_len, Hkv, Dh] — allocated AT cache size
     return logits[:, 0], KVCache(k_stack.astype(cache.k.dtype),
                                  v_stack.astype(cache.v.dtype), length)
+
+
+def _rect_attention(q, pk, pv, k_c, v_c, keep, scale):
+    """Rectangular chunk attention for prefill_continue: queries q [B,Sq,H,Dh]
+    attend [prefix ; chunk] keys WITHOUT materializing a broadcast prefix —
+    the prefix K/V stay at their stored batch dim (1 for a shared per-video
+    prefix; ~0.7GB/side bf16 at flagship, x B if concatenated) and broadcast
+    only inside the score/PV dot_generals. Same numerics as ops.attention
+    .xla_mha: fp32 MXU score accumulation, fp32 softmax over the full row.
+
+    pk/pv [Bp, Sp, Hkv, Dh] (Bp in {1, B}); k_c/v_c [B, Sq, Hkv, Dh];
+    keep [B, Sq, Sp+Sq] bool."""
+    B, Sq, H, Dh = q.shape
+    Sp = pk.shape[1]
+    Hkv = k_c.shape[2]
+    groups = H // Hkv
+    qg = q.reshape(B, Sq, Hkv, groups, Dh)
+    if pk.shape[0] == 1:
+        sp = jnp.einsum("bqhgd,khd->bhgqk", qg, pk[0],
+                        preferred_element_type=jnp.float32)
+    else:
+        sp = jnp.einsum("bqhgd,bkhd->bhgqk", qg, pk,
+                        preferred_element_type=jnp.float32)
+    sc = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_c,
+                    preferred_element_type=jnp.float32)
+    scores = jnp.concatenate([sp, sc], axis=-1) * scale  # [B,Hkv,g,Sq,Sp+Sq]
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(keep[:, None, None], scores, neg)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    pp, pc = probs[..., :Sp], probs[..., Sp:]
+    if pv.shape[0] == 1:
+        out = jnp.einsum("bhgqk,khd->bqhgd", pp.astype(pv.dtype), pv[0],
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", pp.astype(pv.dtype), pv,
+                         preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bhgqk,bkhd->bqhgd", pc.astype(v_c.dtype), v_c,
+                           preferred_element_type=jnp.float32)
+    return out.reshape(B, Sq, H, Dh).astype(q.dtype)
+
+
+def prefill_continue(
+    params, cfg: LLMConfig,
+    chunk_embeds: jnp.ndarray,   # [B, Sq, D] left-padded continuation chunk
+    chunk_mask: jnp.ndarray,     # [B, Sq] 1/0
+    prefix_k: jnp.ndarray,       # [L, Bp, Sp, Hkv, Dh] bf16, Bp in {1, B}
+    prefix_v: jnp.ndarray,
+    prefix_mask: jnp.ndarray,    # [Bp, Sp] 1/0
+    max_len: int,
+    quantize_cache: bool = True,
+):
+    """Prefill a continuation chunk against a precomputed bf16 PREFIX KV —
+    the prefix-cache serving path (serve/generate.generate_tokens_from_prefix):
+    eval/serving workloads ask several queries per video, and the spliced
+    prompt [system text | 3420 video tokens | question] shares everything up
+    to the question. Building the prefix KV once per video and prefilling
+    only the question chunk removes ~95% of per-query prefill FLOPs at
+    flagship shapes (question ≤128 of ~3.6k tokens).
+
+    Numerics match the one-shot path exactly where it matters: chunk queries
+    attend the prefix K/V in bf16 (what full prefill does — the int8 cache
+    roundtrip happens only for DECODE, same as prefill(quantize_cache=True)),
+    and the cache assembled here quantizes the same bf16 K/V values full
+    prefill would, so the decode phase sees an identical int8 cache. The
+    analogue of HF/vLLM prompt-prefix caching (reference inherits none;
+    beyond-parity serving axis).
+
+    Returns (last-position logits [B, V], cache, valid_mask [B, max_len],
+    next_positions [B])."""
+    B, Sq, _ = chunk_embeds.shape
+    L, Bp, Sp, Hkv, Dh = prefix_k.shape
+    pm = jnp.broadcast_to(prefix_mask.astype(bool), (B, Sp))
+    cmask = chunk_mask.astype(bool)
+    plen = jnp.sum(pm, axis=-1).astype(jnp.int32)                  # [B]
+    positions = plen[:, None] + jnp.maximum(
+        jnp.cumsum(chunk_mask, axis=-1) - 1, 0)                    # [B, Sq]
+    cos, sin = llm_rope_tables(cfg, positions, seq_len_hint=max_len)
+
+    # keep-mask [B, Sq, Sp+Sq]: prefix slots by prefix validity, chunk slots
+    # causal-and-valid; sliding window compares token POSITIONS (slot index
+    # and position differ by the per-row pad count on both sides)
+    causal = jnp.tril(jnp.ones((Sq, Sq), bool))
+    keep = jnp.concatenate(
+        [jnp.broadcast_to(pm[:, None, :], (B, Sq, Sp)),
+         causal[None] & cmask[:, None, :]], axis=-1)
+    if cfg.sliding_window is not None:
+        kpos_p = jnp.cumsum(pm.astype(jnp.int32), axis=-1) - 1     # [B, Sp]
+        kpos = jnp.concatenate([kpos_p, positions], axis=-1)       # [B,Sp+Sq]
+        keep = keep & (positions[:, :, None] - kpos[:, None, :]
+                       < cfg.sliding_window)
+
+    scale = cfg.head_dim ** -0.5
+
+    def body(x, xs):
+        lp, pk, pv = xs
+        h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
+        q, k, v = _qkv(h, lp, cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        attn = _rect_attention(q, pk.astype(k.dtype), pv.astype(v.dtype),
+                               k, v, keep, scale).reshape(B, Sq, cfg.q_dim)
+        x = x + _dense(attn, lp["o_kernel"], lp, "o")
+        h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
+        x = x + _mlp(h, lp, cfg)
+        return x, (k, v)
+
+    x, (new_ks, new_vs) = jax.lax.scan(
+        body, chunk_embeds, (params["layers"], prefix_k, prefix_v))
+
+    length = jnp.full((B,), Sp + Sq, jnp.int32)
+    valid = jnp.zeros((B, max_len), bool)
+    valid = valid.at[:, :Sp].set(pm)
+    valid = valid.at[:, Sp:Sp + Sq].set(cmask)
+    x_last = rms_norm(x[:, -1:], params["final_norm_w"], cfg.rms_eps)
+    logits = logits_from_hidden(params, x_last)[:, 0]
+    pos_next = plen + jnp.sum(chunk_mask, axis=-1).astype(jnp.int32)
+
+    if quantize_cache:
+        from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
+
+        def assemble(pref, chunk_kv):
+            # [L,Bp,Sp,Hkv,Dh] + [L,B,Sq,Hkv,Dh] → head-major transposed
+            # int8 [L,B,Hkv,Dh,max_len] + scales [L,B,Hkv,1,max_len]
+            # (QuantKVCache layout, matching forward_hidden's quantized
+            # collect path)
+            pq, ps = qkv_fn(pref)
+            cq, cs = qkv_fn(chunk_kv)
+            pq = jnp.broadcast_to(pq.transpose(0, 1, 3, 4, 2),
+                                  (L, B, Hkv, Dh, Sp))
+            cq = cq.transpose(0, 1, 3, 4, 2)
+            q8 = jnp.concatenate([pq, cq], axis=-1)
+            q8 = jnp.pad(q8, ((0, 0),) * 4 + ((0, max_len - Sp - Sq),))
+            ps = jnp.broadcast_to(ps.transpose(0, 1, 3, 2)[:, :, :, None, :],
+                                  (L, B, Hkv, 1, Sp))
+            cs = cs.transpose(0, 1, 3, 2)[:, :, :, None, :]
+            sc8 = jnp.concatenate([ps, cs], axis=-1)
+            sc8 = jnp.pad(sc8, ((0, 0),) * 4 + ((0, max_len - Sp - Sq),),
+                          constant_values=1.0)
+            return q8, sc8
+
+        kq, ksc = assemble(prefix_k, new_ks)
+        vq, vsc = assemble(prefix_v, new_vs)
+        return logits, QuantKVCache(kq, ksc, vq, vsc, length), valid, pos_next
+
+    pk_b = jnp.broadcast_to(prefix_k, (L, B, Sp, Hkv, Dh))
+    pv_b = jnp.broadcast_to(prefix_v, (L, B, Sp, Hkv, Dh))
+    dt = chunk_embeds.dtype
+    pad = ((0, 0), (0, 0), (0, max_len - Sp - Sq), (0, 0), (0, 0))
+    k_full = jnp.pad(jnp.concatenate([pk_b.astype(dt), new_ks.astype(dt)],
+                                     axis=2), pad)
+    v_full = jnp.pad(jnp.concatenate([pv_b.astype(dt), new_vs.astype(dt)],
+                                     axis=2), pad)
+    return logits, KVCache(k_full, v_full, length), valid, pos_next
 
 
 def decode_step(

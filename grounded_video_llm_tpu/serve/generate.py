@@ -96,6 +96,22 @@ def _generate_from_features(
     # next position continues after the last valid position (left-padded →
     # number of valid tokens)
     pos0 = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    return _decode_loop(
+        params, cfg, logits, cache, valid0, pos0, rng,
+        max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
+        do_sample=do_sample, eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id)
+
+
+def _decode_loop(
+    params, cfg: VLMConfig, logits, cache, valid0, pos0, rng,
+    *, max_new_tokens, temperature, top_p, do_sample, eos_token_id,
+    pad_token_id,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample the first token from the prefill logits, then run the jitted
+    while-loop decode. Shared by the one-shot, from-features, and from-prefix
+    prefill variants."""
+    B = logits.shape[0]
     rng, sub = jax.random.split(rng)
     tok0 = sample_logits(logits, sub, temperature, top_p, do_sample)
     out0 = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
@@ -188,6 +204,84 @@ def generate_tokens_from_features(
         max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
         do_sample=do_sample, eos_token_id=eos_token_id,
         pad_token_id=pad_token_id, quantize_cache=quantize_cache)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rope_hint"))
+def build_prefix_kv(params, cfg: VLMConfig,
+                    pre_ids: jnp.ndarray,         # [Bp, St] left-padded
+                    pre_mask: jnp.ndarray,        # [Bp, St]
+                    video_features: jnp.ndarray,  # [Bp, NV, H_llm]
+                    rope_hint: int):
+    """bf16 prefix KV for prefix-cached serving: run the shared
+    [pre-image text | video features] prompt head through the decoder once
+    per video. Returns (k, v [L, Bp, Sp, Hkv, Dh] bf16, mask [Bp, Sp]) for
+    llm.prefill_continue / generate_tokens_from_prefix.
+
+    rope_hint must equal the continuation programs' cache capacity so
+    LongRoPE factor selection agrees across the split (llm.forward_hidden)."""
+    from ..models import llm as llm_mod
+
+    lp = params["llm"]
+    emb = llm_mod.embed_lookup(lp["embed"], pre_ids,
+                               llm_mod.embed_dtype(lp["embed"]))
+    embeds = jnp.concatenate(
+        [emb, video_features.astype(emb.dtype)], axis=1)
+    Bp, NV = video_features.shape[:2]
+    mask = jnp.concatenate(
+        [pre_mask.astype(jnp.int32),
+         jnp.ones((Bp, NV), jnp.int32)], axis=1)
+    _, (k, v) = llm_mod.forward_hidden(lp, cfg.llm, embeds, mask,
+                                       collect_kv=True, rope_hint=rope_hint)
+    return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16), mask
+
+
+_PREFIX_STATICS = ("cfg", "max_new_tokens", "temperature", "top_p",
+                   "do_sample", "eos_token_id", "pad_token_id",
+                   "quantize_cache")
+
+
+@functools.partial(jax.jit, static_argnames=_PREFIX_STATICS)
+def generate_tokens_from_prefix(
+    params,
+    cfg: VLMConfig,
+    post_ids: jnp.ndarray,      # [B, Sq] left-padded question chunk
+    post_mask: jnp.ndarray,     # [B, Sq]
+    prefix_k: jnp.ndarray,      # [L, Bp, Sp, Hkv, Dh] from build_prefix_kv
+    prefix_v: jnp.ndarray,
+    prefix_mask: jnp.ndarray,   # [Bp, Sp]
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    temperature: float = 0.2,
+    top_p: Optional[float] = None,
+    do_sample: bool = True,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+    quantize_cache: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generation over a per-video cached prefix KV: each query prefills only
+    its question chunk (llm.prefill_continue) instead of the full ~3.6k-token
+    spliced prompt — the prefix-cache serving path layered on the feature
+    cache (encode once AND prefill the shared head once per video). The
+    decode phase sees the same int8 cache values full prefill would
+    quantize, so tokens match generate_tokens_from_features up to the
+    attention-reduction rounding of the question rows."""
+    from ..models import llm as llm_mod
+
+    B, Sq = post_ids.shape
+    Sp = prefix_k.shape[2]
+    max_len = -(-(Sp + Sq + max_new_tokens) // 128) * 128
+    lp = params["llm"]
+    chunk_embeds = llm_mod.embed_lookup(lp["embed"], post_ids,
+                                        llm_mod.embed_dtype(lp["embed"]))
+    logits, cache, valid0, pos0 = llm_mod.prefill_continue(
+        lp, cfg.llm, chunk_embeds, post_mask, prefix_k, prefix_v,
+        prefix_mask, max_len, quantize_cache=quantize_cache)
+    return _decode_loop(
+        params, cfg, logits, cache, valid0, pos0, rng,
+        max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
+        do_sample=do_sample, eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id)
 
 
 def decode_texts(tokenizer, tokens, lengths, eos_token_id: int):
