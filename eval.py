@@ -65,6 +65,9 @@ def parse_args():
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--num_frames", type=int, default=96)
     p.add_argument("--num_segs", type=int, default=12)
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="also cache the shared prompt-head KV per video "
+                        "(run_stream_prefix) on top of the feature cache")
     p.add_argument("--out", default="", help="also write metrics JSON here")
     p.add_argument("--allow_random_weights", action="store_true",
                    help="skip the weights gate (synthetic smoke runs only)")
@@ -146,7 +149,7 @@ def main():
         params, cfg, tokenizer,
         GenerateConfig(max_new_tokens=args.max_new_tokens, do_sample=False,
                        temperature=0.0),
-        quantize=args.quantize or None)
+        quantize=args.quantize or None, prefix_cache=args.prefix_cache)
 
     annos = load_annotations(args.anno_path, args.anno_format)
     runner = {"grounding": eval_grounding, "gqa": eval_gqa,

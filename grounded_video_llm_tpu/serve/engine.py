@@ -44,7 +44,8 @@ class InferenceEngine:
                  gen_cfg: Optional[GenerateConfig] = None,
                  seed: int = 42, param_dtype=None,
                  quantize: Optional[str] = None,
-                 feature_cache_size: int = 8):
+                 feature_cache_size: int = 8,
+                 prefix_cache: bool = False):
         if quantize in ("int8", "int8_full"):
             # opt-in int8 serving (serve/quantize.py): merges any LoRA overlay
             # first, then quantizes the decoder projections. "int8" is
@@ -89,6 +90,9 @@ class InferenceEngine:
         # at the flagship: 3420×3072 bf16). 0 disables.
         self.feature_cache_size = feature_cache_size
         self._feature_cache = OrderedDict()  # (path, mtime, size) → (f, dur)
+        # opt-in prefix-KV caching (run_stream_prefix): eval routes repeated-
+        # video workloads through it when set (serve/eval._run_items)
+        self.prefix_cache = prefix_cache
 
     # -- input construction (reference inference.py:65-123) -----------------
 

@@ -178,6 +178,11 @@ def _run_items(engine, items: List[Dict], prompts: List[str], mode: str,
     paths = [os.path.join(video_root, it["video"]) for it in items]
     if (getattr(engine, "feature_cache_size", 0) > 0
             and len(set(paths)) < len(paths)):
+        if getattr(engine, "prefix_cache", False):
+            # opt-in: also dedup the shared prompt-head prefill per video
+            # (prefix-KV caching; engine.run_stream_prefix)
+            return engine.run_stream_prefix(paths, prompts, mode=mode,
+                                            batch_size=batch_size)
         return engine.run_stream_cached(paths, prompts, mode=mode,
                                         batch_size=batch_size)
     return engine.run_stream(paths, prompts, mode=mode, batch_size=batch_size)

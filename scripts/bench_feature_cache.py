@@ -9,10 +9,16 @@ generate_tokens_from_features. Encode is ~80% of per-request device time at
 the headline config, so expected speedup at q/video = r is roughly
   t_uncached / t_cached = (enc + gen) / (enc/r + gen).
 
+A third leg measures PREFIX-KV caching (run_stream_prefix): on top of the
+encode dedup, the shared [system | video tokens] prompt head prefills once
+per video and each query pays only its question-chunk prefill + decode
+(~95% of per-query prefill FLOPs removed at flagship shapes).
+
 Usage: python scripts/bench_feature_cache.py [queries_per_video] [n_videos]
 Env: BENCH_MODEL=phi3.5|llama3|vicuna, QPV_BATCH (default 6),
      QPV_TOKENS (default 64), QPV_SPEC=<draft_len> to compound speculative
-     decoding on the cached path (0 = lockstep).
+     decoding on the cached path (0 = lockstep), QPV_PREFIX=0 to skip the
+     prefix-KV leg (it forces spec off for that leg — lockstep only).
 """
 
 import os
@@ -85,13 +91,30 @@ def main():
                                                     batch_size=BATCH))
     print(f"speedup: {cached / uncached:.2f}x at q/video={QPV}",
           file=sys.stderr)
+    out = {"metric": "feature_cache_speedup",
+           "value": round(cached / uncached, 3),
+           "unit": f"x_vs_reencode_qpv{QPV}",
+           "req_per_s_cached": round(cached, 3),
+           "req_per_s_uncached": round(uncached, 3)}
+    if os.environ.get("QPV_PREFIX", "1") == "1":
+        from grounded_video_llm_tpu.core.config import GenerateConfig as GC
+
+        gp = GC(max_new_tokens=TOKENS, do_sample=True, temperature=0.2,
+                quantize_cache=True)  # prefix leg is lockstep (no spec)
+        prefix = timed("run_stream_prefix (encode + prompt-head KV per "
+                       "video)",
+                       lambda: engine.run_stream_prefix(paths, prompts,
+                                                        mode="grounding",
+                                                        batch_size=BATCH,
+                                                        gen_cfg=gp))
+        print(f"prefix speedup: {prefix / uncached:.2f}x vs re-encode, "
+              f"{prefix / cached:.2f}x vs feature-cache, q/video={QPV}",
+              file=sys.stderr)
+        out["req_per_s_prefix"] = round(prefix, 3)
+        out["prefix_speedup_vs_reencode"] = round(prefix / uncached, 3)
     import json
 
-    print(json.dumps({"metric": "feature_cache_speedup",
-                      "value": round(cached / uncached, 3),
-                      "unit": f"x_vs_reencode_qpv{QPV}",
-                      "req_per_s_cached": round(cached, 3),
-                      "req_per_s_uncached": round(uncached, 3)}))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

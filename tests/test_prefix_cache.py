@@ -152,6 +152,40 @@ def test_run_stream_prefix_matches_cached(micro_model, two_videos, mode):
     assert durs[0] == durs[2] == durs[4] and durs[1] == durs[3]
 
 
+def test_eval_routes_prefix_when_enabled():
+    """serve.eval._run_items picks run_stream_prefix iff the engine opts in
+    (prefix_cache=True) AND the workload repeats videos."""
+    from grounded_video_llm_tpu.serve import eval as eval_mod
+
+    class StubEngine:
+        feature_cache_size = 8
+        prefix_cache = True
+
+        def __init__(self):
+            self.called = []
+
+        def run_stream(self, paths, prompts, mode, batch_size):
+            self.called.append("plain")
+            return ["r"] * len(paths)
+
+        def run_stream_cached(self, paths, prompts, mode, batch_size):
+            self.called.append("cached")
+            return ["r"] * len(paths)
+
+        def run_stream_prefix(self, paths, prompts, mode, batch_size):
+            self.called.append("prefix")
+            return ["r"] * len(paths)
+
+    dup = [{"video": "a.mp4"}, {"video": "a.mp4"}, {"video": "b.mp4"}]
+    eng = StubEngine()
+    eval_mod._run_items(eng, dup, ["p"] * 3, "grounding", "", 2)
+    assert eng.called == ["prefix"]
+    eng2 = StubEngine()
+    eng2.prefix_cache = False
+    eval_mod._run_items(eng2, dup, ["p"] * 3, "grounding", "", 2)
+    assert eng2.called == ["cached"]
+
+
 def test_prefix_kv_is_shared_across_batches(micro_model):
     """The same prefix arrays serve two different query batches (the engine
     builds the prefix once per video and reuses it across batch chunks)."""
