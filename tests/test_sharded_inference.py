@@ -49,6 +49,42 @@ def test_sharded_generate_matches_single_device(mesh_shape):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
+def test_sharded_prefix_generate_matches_single_device():
+    """Prefix-KV serving (build_prefix_kv + prefill_continue's rectangular
+    split-PV attention + quantize-on-assemble cache) over FSDP/TP-sharded
+    params == single-device tokens — the multi-chip path for prefix-cached
+    eval workloads."""
+    assert len(jax.devices()) == 8
+    from grounded_video_llm_tpu.serve.generate import (
+        build_prefix_kv, generate_tokens_from_prefix)
+
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(2)
+    pre_ids = rng.integers(3, 50, size=(1, 3)).astype(np.int32)
+    post_ids = rng.integers(3, 50, size=(2, 5)).astype(np.int32)
+    post_mask = np.ones_like(post_ids)
+    feats = (rng.normal(size=(1, cfg.num_video_tokens, cfg.llm.hidden_size))
+             * 0.05).astype(np.float32)
+    Sp = pre_ids.shape[1] + cfg.num_video_tokens
+    hint = -(-(Sp + post_ids.shape[1] + 4) // 128) * 128
+    kw = dict(max_new_tokens=4, temperature=0.0, do_sample=False,
+              eos_token_id=-2, pad_token_id=0, quantize_cache=True)
+
+    def run(p):
+        k, v, pm = build_prefix_kv(p, cfg, jnp.asarray(pre_ids),
+                                   jnp.ones_like(jnp.asarray(pre_ids)),
+                                   jnp.asarray(feats), hint)
+        toks, _ = generate_tokens_from_prefix(
+            p, cfg, jnp.asarray(post_ids), jnp.asarray(post_mask),
+            k, v, pm, jax.random.key(0), **kw)
+        return np.asarray(toks)
+
+    ref = run(params)
+    mesh = build_mesh(data=1, fsdp=4, tensor=2)
+    np.testing.assert_array_equal(ref, run(shard_params(params, mesh)))
+
+
 def test_sharded_spec_generate_matches_single_device():
     """Speculative generation (verify kernels, multi-slot commits, in-jit
     drafting) over FSDP/TP-sharded params == single-device greedy — the
