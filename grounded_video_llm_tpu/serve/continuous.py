@@ -80,6 +80,16 @@ class Request(NamedTuple):
     #                                    admission prefill skips the encoders
     #                                    — encode was ~80% of the measured
     #                                    batch-1 admission cost.
+    prefix: Optional[tuple] = None  # (k, v, mask) bf16 prefix KV from
+    #                                    serve.generate.build_prefix_kv (the
+    #                                    engine's prefix-KV cache). When set,
+    #                                    input_ids/attn_mask hold only the
+    #                                    POST-image question chunk and
+    #                                    admission pays just the chunk
+    #                                    prefill (llm.prefill_continue) —
+    #                                    ~1% of the full prompt at flagship
+    #                                    shapes. Requests sharing a video
+    #                                    share the same prefix tuple.
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
@@ -103,6 +113,22 @@ def _prefill_batch_from_features(params, cfg: VLMConfig, input_ids,
     measured batch-1 admission cost."""
     return _prefill_features_body(params, cfg, input_ids, attn_mask,
                                   video_features, max_len)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
+def _prefill_batch_from_prefix(params, cfg: VLMConfig, input_ids, attn_mask,
+                               prefix_k, prefix_v, prefix_mask,
+                               max_len: int):
+    """Admission prefill for PREFIX-backed requests (Request.prefix): the
+    shared [system text | video tokens] head is already prefilled once per
+    video; admission pays only the question-chunk prefill
+    (llm.prefill_continue) and the prefix quantize-into-slot. input_ids
+    [k, Sq] hold the post-image chunk only."""
+    emb = llm_mod.embed_lookup(params["llm"]["embed"], input_ids,
+                               llm_mod.embed_dtype(params["llm"]["embed"]))
+    return llm_mod.prefill_continue(params["llm"], cfg.llm, emb, attn_mask,
+                                    prefix_k, prefix_v, prefix_mask,
+                                    max_len, quantize_cache=True)
 
 
 def _prefill_features_body(params, cfg, input_ids, attn_mask,
@@ -280,7 +306,8 @@ class ContinuousServer:
                  top_p: Optional[float] = None, do_sample: bool = False,
                  eos_token_id: int = 2, pad_token_id: int = 0,
                  seed: int = 0, admit_batch: int = 1,
-                 spec_draft_len: int = 0):
+                 spec_draft_len: int = 0,
+                 prefix_len: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.pool_size = pool_size
@@ -310,9 +337,13 @@ class ContinuousServer:
         self.pad_token_id = pad_token_id
         # pool max_len covers the longest spliced prompt + the token budget,
         # rounded to a 128 multiple (lane padding is paid in HBM regardless;
-        # the L-chunked decode kernel wants block-divisible L)
-        self.max_len = -(-(prompt_len - 1 + cfg.num_video_tokens
-                           + max_new_tokens
+        # the L-chunked decode kernel wants block-divisible L). With
+        # prefix-backed admission (Request.prefix) the prefix occupies its
+        # own slots BEFORE the question bucket, so pass prefix_len (= Sp =
+        # pre-image text + num_video_tokens) to size the pool for it.
+        head = (prefix_len + prompt_len if prefix_len is not None
+                else prompt_len - 1 + cfg.num_video_tokens)
+        self.max_len = -(-(head + max_new_tokens
                            + chunk * self._toks_per_iter) // 128) * 128
         self._prompt_len = prompt_len
         self._buf_len = (prompt_len + max_new_tokens
@@ -364,6 +395,10 @@ class ContinuousServer:
         staged = req._replace(
             input_ids=jax.device_put(jnp.asarray(req.input_ids)),
             attn_mask=jax.device_put(jnp.asarray(req.attn_mask)))
+        if req.prefix is not None:
+            # prefix-backed request: the prefix KV is already a device
+            # array, shared across same-video requests — nothing to stage
+            return staged
         if req.features is not None:
             # feature-backed request: stage the features (~20MB bf16 at
             # flagship), skip the pixel transfers entirely
@@ -392,12 +427,20 @@ class ContinuousServer:
             if not free:
                 return
             take = pending[: min(len(free), self.admit_batch)]
-            # a batched prefill is ONE program — feature-backed and
-            # pixel-backed requests can't mix, so cut the take at the first
-            # type switch (admit_batch defaults to 1; no-op there)
-            want_feats = take[0][1].features is not None
+
+            # a batched prefill is ONE program — pixel-, feature-, and
+            # prefix-backed requests can't mix (and prefix requests batch
+            # only with requests sharing the SAME prefix arrays), so cut
+            # the take at the first kind switch (admit_batch defaults to 1;
+            # no-op there)
+            def kind(r: Request):
+                if r.prefix is not None:
+                    return ("prefix", id(r.prefix))
+                return ("feats",) if r.features is not None else ("pixels",)
+
+            want = kind(take[0][1])
             for j in range(1, len(take)):
-                if (take[j][1].features is not None) != want_feats:
+                if kind(take[j][1]) != want:
                     take = take[:j]
                     break
             del pending[: len(take)]
@@ -408,7 +451,19 @@ class ContinuousServer:
             idx = [take[i % k][1] for i in range(bucket)]  # pad by repeat
             bids = jnp.stack([jnp.asarray(r.input_ids) for r in idx])
             battn = jnp.stack([jnp.asarray(r.attn_mask) for r in idx])
-            if want_feats:
+            if want[0] == "prefix":
+                pk, pv, pm = take[0][1].prefix
+                Sp, Sq = pk.shape[2], bids.shape[1]
+                if Sp + Sq + self.max_new_tokens \
+                        + self.chunk * self._toks_per_iter > self.max_len:
+                    raise ValueError(
+                        f"prefix ({Sp}) + question bucket ({Sq}) + budget "
+                        f"overflow the pool cache (max_len={self.max_len}); "
+                        "build the server with prefix_len set")
+                logits, bcache, bvalid, bpos = _prefill_batch_from_prefix(
+                    self.params, self.cfg, bids, battn, pk, pv, pm,
+                    self.max_len)
+            elif want[0] == "feats":
                 logits, bcache, bvalid, bpos = _prefill_batch_from_features(
                     self.params, self.cfg, bids, battn,
                     jnp.stack([jnp.asarray(r.features) for r in idx]),

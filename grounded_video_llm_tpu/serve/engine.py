@@ -93,6 +93,10 @@ class InferenceEngine:
         # opt-in prefix-KV caching (run_stream_prefix): eval routes repeated-
         # video workloads through it when set (serve/eval._run_items)
         self.prefix_cache = prefix_cache
+        # prefix-KV LRU for continuous batching (prefix_kv_cached); entries
+        # are device-resident bf16 K/V (~1.4GB each at flagship)
+        self.prefix_kv_cache_size = 2
+        self._prefix_cache = OrderedDict()
 
     # -- input construction (reference inference.py:65-123) -----------------
 
@@ -428,22 +432,9 @@ class InferenceEngine:
                                                  intervals)
         return results
 
-    def make_continuous_request(self, video_path: str, prompt: str,
-                                mode: str = "qa", prompt_len: int = 64,
-                                max_new_tokens: Optional[int] = None,
-                                on_token=None):
-        """Build a feature-backed continuous-batching Request
-        (serve/continuous.py) through the video-feature cache: repeated
-        videos skip the dual-stream encode at admission (the dominant
-        admission cost), paying only the text prefill."""
-        from .continuous import Request
-        from ..text.tokenizer import pad_batch_generate, tokenize_with_image
-
-        features, duration = self.encode_video_cached(video_path)
-        text_prompt = self.build_prompt(prompt, mode, duration)
-        seq = tokenize_with_image(text_prompt, self.tokenizer)
-        # left-pad to the server's FIXED prompt bucket (pad_batch_generate
-        # pads to the batch max; a continuous pool wants one static width)
+    def _pad_bucket(self, seq, prompt_len: int):
+        """Left-pad one token list to exactly prompt_len (pad_batch_generate
+        pads to the batch max; a continuous pool wants one static width)."""
         input_ids, attn_mask = pad_batch_generate(
             [seq], self.tokenizer.pad_token_id, prompt_len)
         short = prompt_len - input_ids.shape[1]
@@ -453,8 +444,68 @@ class InferenceEngine:
                  input_ids], axis=1)
             attn_mask = np.concatenate(
                 [np.zeros((1, short), np.int32), attn_mask], axis=1)
+        return input_ids[0], attn_mask[0]
+
+    def prefix_kv_cached(self, video_path: str, pre_ids, features,
+                         rope_hint: int):
+        """Per-video prefix-KV LRU (build_prefix_kv output): the bf16 prefix
+        is ~1.4GB at the phi3.5 flagship, so the cache holds few entries
+        (prefix_kv_cache_size, default 2). Keyed on the pre-image token ids
+        too — they're template-constant, but a custom template change must
+        not serve a stale prefix."""
+        from .generate import build_prefix_kv
+
+        key = (video_path, tuple(pre_ids), rope_hint)
+        hit = self._prefix_cache.get(key)
+        if hit is not None:
+            self._prefix_cache.move_to_end(key)
+            return hit
+        pre = jnp.asarray(np.asarray(pre_ids, np.int32)[None])
+        k, v, pmask = build_prefix_kv(
+            self.params, self.cfg, pre, jnp.ones_like(pre),
+            jnp.asarray(np.asarray(features)[None]), rope_hint)
+        entry = (k, v, pmask)
+        self._prefix_cache[key] = entry
+        while len(self._prefix_cache) > max(1, self.prefix_kv_cache_size):
+            self._prefix_cache.popitem(last=False)
+        return entry
+
+    def make_continuous_request(self, video_path: str, prompt: str,
+                                mode: str = "qa", prompt_len: int = 64,
+                                max_new_tokens: Optional[int] = None,
+                                on_token=None,
+                                prefix_rope_hint: Optional[int] = None):
+        """Build a feature-backed continuous-batching Request
+        (serve/continuous.py) through the video-feature cache: repeated
+        videos skip the dual-stream encode at admission (the dominant
+        admission cost), paying only the text prefill.
+
+        prefix_rope_hint (= the pool's max_len, ContinuousServer.max_len):
+        build a PREFIX-backed request instead — the shared [system | video
+        tokens] head comes from the prefix-KV LRU and input_ids carry only
+        the post-image question chunk, so admission pays ~1% of the full
+        prompt prefill. Requests for the same video share the same prefix
+        arrays (admission batches them together)."""
+        from .continuous import Request
+        from ..text.templates import IMAGE_TOKEN_INDEX
+
+        features, duration = self.encode_video_cached(video_path)
+        text_prompt = self.build_prompt(prompt, mode, duration)
+        seq = tokenize_with_image(text_prompt, self.tokenizer)
+        if prefix_rope_hint is not None:
+            img = seq.index(IMAGE_TOKEN_INDEX)
+            pre, post = seq[:img], seq[img + 1:]
+            prefix = self.prefix_kv_cached(video_path, pre, features,
+                                           prefix_rope_hint)
+            input_ids, attn_mask = self._pad_bucket(post, prompt_len)
+            return Request(
+                input_ids=input_ids, attn_mask=attn_mask,
+                spatial_pixels=None, temporal_pixels=None,
+                max_new_tokens=max_new_tokens, on_token=on_token,
+                prefix=prefix), duration
+        input_ids, attn_mask = self._pad_bucket(seq, prompt_len)
         return Request(
-            input_ids=input_ids[0], attn_mask=attn_mask[0],
+            input_ids=input_ids, attn_mask=attn_mask,
             spatial_pixels=None, temporal_pixels=None,
             max_new_tokens=max_new_tokens, on_token=on_token,
             features=np.asarray(features)), duration

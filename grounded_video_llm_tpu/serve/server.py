@@ -47,11 +47,25 @@ class ServingFrontend:
 
     def __init__(self, engine: InferenceEngine, pool_size: int = 4,
                  prompt_len: int = 64, max_new_tokens: int = 64,
-                 chunk: int = 8, spec_draft_len: int = 0):
+                 chunk: int = 8, spec_draft_len: int = 0,
+                 prefix_cache: bool = False):
         g = engine.gen_cfg
         self.engine = engine
         self.prompt_len = prompt_len
         self.max_new_tokens = max_new_tokens
+        self.prefix_cache = prefix_cache
+        prefix_len = None
+        if prefix_cache:
+            # prefix-backed admission (Request.prefix): the pool must also
+            # hold the per-video [pre-image text | video tokens] head. Its
+            # length is template-constant — measure it once.
+            from ..text.templates import IMAGE_TOKEN_INDEX
+            from ..text.tokenizer import tokenize_with_image
+
+            seq = tokenize_with_image(engine.build_prompt("x", "qa", 1.0),
+                                      engine.tokenizer)
+            prefix_len = (seq.index(IMAGE_TOKEN_INDEX)
+                          + engine.cfg.num_video_tokens)
         self.server = ContinuousServer(
             engine.params, engine.cfg, pool_size=pool_size,
             prompt_len=prompt_len, max_new_tokens=max_new_tokens,
@@ -59,7 +73,7 @@ class ServingFrontend:
             do_sample=g.do_sample,
             eos_token_id=engine.tokenizer.eos_token_id,
             pad_token_id=engine.tokenizer.pad_token_id,
-            spec_draft_len=spec_draft_len)
+            spec_draft_len=spec_draft_len, prefix_len=prefix_len)
         self.scheduler = ContinuousScheduler(self.server)
         self._lock = threading.Lock()  # engine cache + rng aren't thread-safe
 
@@ -71,7 +85,9 @@ class ServingFrontend:
         with self._lock:
             req, duration = self.engine.make_continuous_request(
                 video_path, prompt, mode=mode, prompt_len=self.prompt_len,
-                max_new_tokens=max_new_tokens, on_token=on_token)
+                max_new_tokens=max_new_tokens, on_token=on_token,
+                prefix_rope_hint=(self.server.max_len if self.prefix_cache
+                                  else None))
         return self.scheduler.submit(req), duration
 
     def result_payload(self, tokens: np.ndarray, duration: float) -> dict:

@@ -43,6 +43,10 @@ def parse_args():
                    help="decode chunk between admission checks (latency = "
                         "chunk x ms/token)")
     p.add_argument("--spec_draft_len", type=int, default=0)
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="prefix-KV admission: repeated videos prefill only "
+                        "their question chunk (the shared [system | video "
+                        "tokens] head caches per video)")
     p.add_argument("--num_frames", type=int, default=96)
     p.add_argument("--num_segs", type=int, default=12)
     p.add_argument("--tokenizer_path", default="")
@@ -95,7 +99,7 @@ def main():
     frontend = ServingFrontend(
         engine, pool_size=args.pool_size, prompt_len=args.prompt_len,
         max_new_tokens=args.max_new_tokens, chunk=args.chunk,
-        spec_draft_len=args.spec_draft_len)
+        spec_draft_len=args.spec_draft_len, prefix_cache=args.prefix_cache)
     httpd = serve_http(frontend, args.host, args.port)
     print(f"serving {cfg.llm_name} on http://{args.host}:{args.port} "
           f"(pool={args.pool_size}, prompt_len={args.prompt_len}, "

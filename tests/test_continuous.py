@@ -197,6 +197,73 @@ def test_feature_backed_requests_match_pixel_requests(micro_model):
         np.testing.assert_array_equal(a, b), i
 
 
+def _prefixize(params, cfg, reqs, rope_hint):
+    """Pixel requests → prefix-backed requests: each request's own
+    [pre-image | video] head becomes a bf16 prefix KV; input_ids keep only
+    the post-image chunk. (_make_requests puts IMAGE_TOKEN_INDEX at 2.)"""
+    from grounded_video_llm_tpu.serve.generate import build_prefix_kv
+
+    out = []
+    for r in reqs:
+        feats = vlm.encode_video_jit(
+            params, cfg, jnp.asarray(r.spatial_pixels[None]),
+            jnp.asarray(r.temporal_pixels[None]))
+        pre = jnp.asarray(r.input_ids[None, :2])
+        prefix = build_prefix_kv(params, cfg, pre, jnp.ones_like(pre),
+                                 feats, rope_hint)
+        out.append(r._replace(
+            input_ids=r.input_ids[3:], attn_mask=r.attn_mask[3:],
+            spatial_pixels=None, temporal_pixels=None, prefix=prefix))
+    return out
+
+
+def test_prefix_backed_requests_match_pixel_requests(micro_model):
+    """Requests carrying a cached prefix KV admit through
+    _prefill_batch_from_prefix (question-chunk prefill only) and must
+    generate the same tokens as full pixel-backed admission."""
+    cfg, params = micro_model
+    max_new = 5
+    reqs = _make_requests(cfg, 3)
+    kw = dict(pool_size=2, max_new_tokens=max_new, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD)
+    got_pix = ContinuousServer(params, cfg, prompt_len=10, **kw).serve(reqs)
+    server = ContinuousServer(params, cfg, prompt_len=7,
+                              prefix_len=2 + cfg.num_video_tokens, **kw)
+    got_pref = server.serve(_prefixize(params, cfg, reqs, server.max_len))
+    for i, (a, b) in enumerate(zip(got_pix, got_pref)):
+        np.testing.assert_array_equal(a, b), i
+
+
+def test_mixed_prefix_admission_batches_same_prefix_only(micro_model):
+    """admit_batch=2: two requests SHARING one prefix batch into one
+    admission program; a different-prefix request cuts the take. Outputs
+    match the lockstep reference."""
+    cfg, params = micro_model
+    max_new = 4
+    reqs = _make_requests(cfg, 3)
+    # queries 0 and 1 share video 0's prefix (same pixels AND the same
+    # pre-image tokens — only the question differs); query 2 has its own
+    ids1 = np.concatenate([reqs[0].input_ids[:3], reqs[1].input_ids[3:]])
+    shared_src = [reqs[0], reqs[0]._replace(input_ids=ids1), reqs[2]]
+    kw = dict(pool_size=3, max_new_tokens=max_new, chunk=2, temperature=0.0,
+              do_sample=False, eos_token_id=EOS, pad_token_id=PAD)
+    server = ContinuousServer(params, cfg, prompt_len=7,
+                              prefix_len=2 + cfg.num_video_tokens,
+                              admit_batch=2, **kw)
+    pref = _prefixize(params, cfg, [shared_src[0], shared_src[2]],
+                      server.max_len)
+    shared = pref[0].prefix
+    mixed = [pref[0],
+             pref[0]._replace(input_ids=shared_src[1].input_ids[3:],
+                              prefix=shared),
+             pref[1]]
+    got = server.serve(mixed)
+    for i, src in enumerate(shared_src):
+        want = _reference_greedy(params, cfg, src, max_new)
+        np.testing.assert_array_equal(got[i], want), i
+
+
 def test_mixed_admission_does_not_mix_programs(micro_model):
     """admit_batch=2 with alternating pixel/feature requests: the take must
     cut at the type switch and still produce lockstep-parity tokens."""

@@ -120,6 +120,43 @@ def test_streaming_deltas_assemble_final_text(http_server, videos):
     assert json.loads(raw)["text"] == final["text"]
 
 
+def test_prefix_cache_server_matches_plain(videos):
+    """A prefix_cache=True frontend (prefix-KV admission: question-chunk
+    prefill against the per-video cached head) returns the same greedy text
+    as a plain feature-backed frontend, and reuses the cached prefix on
+    repeats. Both frontends use a bucket wide enough to hold the full
+    prompt — with a NARROW bucket the plain path tail-truncates the prompt
+    head while the prefix path keeps it (whole pre-image text lives in the
+    prefix), so their effective prompts legitimately differ."""
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+    tok = build_test_tokenizer("phi3.5")
+    eng = InferenceEngine(
+        params, cfg, tok,
+        GenerateConfig(max_new_tokens=6, do_sample=False, temperature=0.0),
+        feature_cache_size=4)
+    body = {"video_path": videos, "prompt": "what happens?", "mode": "qa"}
+    texts = {}
+    for name, use_prefix in (("plain", False), ("prefix", True)):
+        frontend = ServingFrontend(eng, pool_size=2, prompt_len=256,
+                                   max_new_tokens=6, chunk=2,
+                                   prefix_cache=use_prefix)
+        httpd = serve_http(frontend, "127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            _, raw1 = _post(base + "/v1/generate", body)
+            _, raw2 = _post(base + "/v1/generate", body)
+            texts[name] = json.loads(raw1)["text"]
+            assert json.loads(raw2)["text"] == texts[name]
+        finally:
+            httpd.shutdown()
+            frontend.shutdown()
+    assert len(eng._prefix_cache) == 1  # prefix LRU hit on the repeat
+    assert texts["prefix"] == texts["plain"]
+
+
 def test_bad_requests(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(http_server + "/v1/generate", {"prompt": "no video"})
