@@ -455,7 +455,12 @@ class InferenceEngine:
         not serve a stale prefix."""
         from .generate import build_prefix_kv
 
-        key = (video_path, tuple(pre_ids), rope_hint)
+        try:
+            st = os.stat(video_path)
+            vid_key = (video_path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            vid_key = (video_path,)
+        key = (vid_key, tuple(pre_ids), rope_hint)
         hit = self._prefix_cache.get(key)
         if hit is not None:
             self._prefix_cache.move_to_end(key)
