@@ -612,11 +612,16 @@ def decode_step(
 
     write_idx = jnp.minimum(cache.length, max_len - 1)  # [B]
     if cfg.sliding_window is not None:
-        # sliding window (reference modeling_phi3.py:688-718): attend only the
-        # most recent `window` slots. Slot index and token position differ by
-        # the per-row left-pad count, which cancels in the comparison.
-        window_keep = (jnp.arange(max_len)[None, :]
-                       > write_idx[:, None] - cfg.sliding_window)
+        # sliding window (reference modeling_phi3.py:688-718): attend only
+        # the most recent `window` TOKENS. Compare token positions, not slot
+        # indices: each valid slot's position is its rank among valid slots
+        # (for the standard all-pads-left layout this reduces to the old
+        # slot-vs-write_idx comparison, but a prefix-built cache
+        # (prefill_continue) has pad holes BETWEEN prefix and chunk, where
+        # slot arithmetic would over-mask prefix keys by the chunk pad
+        # count).
+        kpos = jnp.cumsum(valid_mask.astype(jnp.int32), axis=-1) - 1
+        window_keep = positions[:, None] - kpos < cfg.sliding_window
         attn_valid = valid_mask.astype(bool) & window_keep
     else:
         attn_valid = valid_mask
@@ -789,11 +794,13 @@ def verify_step(
     base = jnp.minimum(cache.length, max_len - S)  # [B] write base slot
 
     # per-query attendable committed slots (sliding window per candidate
-    # position, same slot/position cancellation as decode_step)
+    # position; token-position comparison via valid-slot rank, same
+    # rationale as decode_step — slot arithmetic breaks on prefix-built
+    # caches)
     if cfg.sliding_window is not None:
-        qslot = base[:, None] + jnp.arange(S)[None, :]        # [B, S]
-        window_keep = (jnp.arange(max_len)[None, None, :]
-                       > qslot[:, :, None] - cfg.sliding_window)
+        kpos = jnp.cumsum(valid_mask.astype(jnp.int32), axis=-1) - 1
+        window_keep = (positions[:, :, None] - kpos[:, None, :]
+                       < cfg.sliding_window)
         attn_valid = valid_mask.astype(bool)[:, None, :] & window_keep
     else:
         attn_valid = jnp.broadcast_to(valid_mask.astype(bool)[:, None, :],

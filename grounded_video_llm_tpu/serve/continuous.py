@@ -619,6 +619,17 @@ class ContinuousScheduler:
                     if not fut.done():
                         fut.set_exception(e)
                 self._futures.clear()
+                # the pool state is suspect: also drop queued work and free
+                # every slot — otherwise orphaned active rows keep decoding
+                # with no future to resolve (their results accumulate
+                # forever) and _busy() never clears
+                pending.clear()
+                self._emitted.clear()
+                self._results.clear()
+                self.server._slot_req = [None] * self.server.pool_size
+                self.server._slot_cb = [None] * self.server.pool_size
+                self.server.state = self.server.state._replace(
+                    active=self.server.state.active.at[:].set(False))
                 continue
             for rid in list(self._results):
                 fut = self._futures.pop(rid, None)

@@ -432,27 +432,41 @@ class InferenceEngine:
                                                  intervals)
         return results
 
-    def _pad_bucket(self, seq, prompt_len: int):
-        """Left-pad one token list to exactly prompt_len (pad_batch_generate
-        pads to the batch max; a continuous pool wants one static width)."""
+    def _pad_bucket_batch(self, seqs, prompt_len: int):
+        """Left-pad token lists to exactly prompt_len [k, prompt_len]
+        (pad_batch_generate pads to the batch max; static-shape pools and
+        fixed question buckets want one width). Overlong seqs keep their
+        TAIL (pad_batch_generate truncation semantics)."""
         input_ids, attn_mask = pad_batch_generate(
-            [seq], self.tokenizer.pad_token_id, prompt_len)
+            seqs, self.tokenizer.pad_token_id, prompt_len)
         short = prompt_len - input_ids.shape[1]
         if short > 0:
+            k = input_ids.shape[0]
             input_ids = np.concatenate(
-                [np.full((1, short), self.tokenizer.pad_token_id, np.int32),
+                [np.full((k, short), self.tokenizer.pad_token_id, np.int32),
                  input_ids], axis=1)
             attn_mask = np.concatenate(
-                [np.zeros((1, short), np.int32), attn_mask], axis=1)
+                [np.zeros((k, short), np.int32), attn_mask], axis=1)
+        return input_ids, attn_mask
+
+    def _pad_bucket(self, seq, prompt_len: int):
+        input_ids, attn_mask = self._pad_bucket_batch([seq], prompt_len)
         return input_ids[0], attn_mask[0]
 
     def prefix_kv_cached(self, video_path: str, pre_ids, features,
                          rope_hint: int):
         """Per-video prefix-KV LRU (build_prefix_kv output): the bf16 prefix
         is ~1.4GB at the phi3.5 flagship, so the cache holds few entries
-        (prefix_kv_cache_size, default 2). Keyed on the pre-image token ids
-        too — they're template-constant, but a custom template change must
-        not serve a stale prefix."""
+        (prefix_kv_cache_size, default 2). Keyed on the video file stat and
+        the pre-image token ids — they're template-constant, but a replaced
+        file or template change must not serve a stale prefix.
+
+        HBM caveat: eviction here does NOT free a prefix still referenced by
+        a queued Request (continuous batching holds the tuple until
+        admission), so N queued requests for N distinct videos pin N
+        prefixes regardless of the LRU size. Interleave distinct-video
+        submissions with completions (or grow the LRU to the worst case) on
+        capacity-limited chips."""
         from .generate import build_prefix_kv
 
         try:
@@ -509,6 +523,14 @@ class InferenceEngine:
                 max_new_tokens=max_new_tokens, on_token=on_token,
                 prefix=prefix), duration
         input_ids, attn_mask = self._pad_bucket(seq, prompt_len)
+        if not np.any(input_ids == IMAGE_TOKEN_INDEX):
+            # tail-keeping truncation cut the image slot — the splice would
+            # silently place video features at slot 0 (garbage output)
+            raise ValueError(
+                f"prompt ({len(seq)} tokens) overflows the prompt_len="
+                f"{prompt_len} bucket past the <image> token; raise the "
+                "server's prompt_len (or enable prefix_cache, which keeps "
+                "the pre-image head out of the bucket)")
         return Request(
             input_ids=input_ids, attn_mask=attn_mask,
             spatial_pixels=None, temporal_pixels=None,
@@ -552,13 +574,23 @@ class InferenceEngine:
         order = list(groups)
         NV = self.cfg.num_video_tokens
 
+        def cached(path: str) -> bool:
+            try:
+                st = os.stat(path)
+            except OSError:
+                return False
+            return (path, st.st_mtime_ns, st.st_size) in self._feature_cache
+
         with ThreadPoolExecutor(max_workers=decode_workers) as pool:
-            futs = {order[0]: pool.submit(self.preprocess_video, order[0])} \
-                if order else {}
+            def prefetch(path):
+                # warm feature cache → the host decode would be discarded
+                return (None if cached(path)
+                        else pool.submit(self.preprocess_video, path))
+
+            futs = {order[0]: prefetch(order[0])} if order else {}
             for gi, path in enumerate(order):
                 if gi + 1 < len(order):
-                    futs[order[gi + 1]] = pool.submit(
-                        self.preprocess_video, order[gi + 1])
+                    futs[order[gi + 1]] = prefetch(order[gi + 1])
                 fut = futs.pop(path, None)
                 features, duration = self.encode_video_cached(
                     path, prepped=fut.result() if fut is not None else None)
@@ -570,12 +602,20 @@ class InferenceEngine:
                 pre = seqs[0][:img_at[0]]
                 if any(s[:a] != pre for s, a in zip(seqs, img_at)):
                     # pre-image text differs across the group (custom
-                    # template?) — no shared prefix; fall back per query
-                    texts = self.generate_from_features(
-                        [self.build_prompt(prompts[i], mode, duration)
-                         for i in idxs], np.asarray(features), g)
-                    for i, text in zip(idxs, texts):
-                        results[i] = self._result(text, duration)
+                    # template?) — no shared prefix; fall back per query,
+                    # still chunked at batch_size (pad by repeat: one
+                    # program per bucket, no per-group-size recompiles)
+                    for c0 in range(0, len(idxs), batch_size):
+                        sub_idx = idxs[c0:c0 + batch_size]
+                        ps = [self.build_prompt(prompts[i], mode, duration)
+                              for i in sub_idx]
+                        kq = len(sub_idx)
+                        if kq < batch_size:
+                            ps = ps + [ps[-1]] * (batch_size - kq)
+                        texts = self.generate_from_features(
+                            ps, np.asarray(features), g)
+                        for i, text in zip(sub_idx, texts[:kq]):
+                            results[i] = self._result(text, duration)
                     continue
                 posts = [s[a + 1:] for s, a in zip(seqs, img_at)]
                 Sp = len(pre) + NV
@@ -591,17 +631,7 @@ class InferenceEngine:
                     kq = len(chunk)
                     if kq < batch_size:   # static bucket: pad by repeat
                         cposts = cposts + [cposts[-1]] * (batch_size - kq)
-                    ids, mask = pad_batch_generate(
-                        cposts, self.tokenizer.pad_token_id, question_len)
-                    short = question_len - ids.shape[1]
-                    if short > 0:
-                        ids = np.concatenate(
-                            [np.full((len(cposts), short),
-                                     self.tokenizer.pad_token_id, np.int32),
-                             ids], axis=1)
-                        mask = np.concatenate(
-                            [np.zeros((len(cposts), short), np.int32), mask],
-                            axis=1)
+                    ids, mask = self._pad_bucket_batch(cposts, question_len)
                     self._rng, sub = jax.random.split(self._rng)
                     tokens, lengths = generate_tokens_from_prefix(
                         self.params, self.cfg, jnp.asarray(ids),

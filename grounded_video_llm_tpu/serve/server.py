@@ -46,7 +46,7 @@ class ServingFrontend:
     ragged retirement path)."""
 
     def __init__(self, engine: InferenceEngine, pool_size: int = 4,
-                 prompt_len: int = 64, max_new_tokens: int = 64,
+                 prompt_len: int = 256, max_new_tokens: int = 64,
                  chunk: int = 8, spec_draft_len: int = 0,
                  prefix_cache: bool = False):
         g = engine.gen_cfg
@@ -88,6 +88,20 @@ class ServingFrontend:
                 max_new_tokens=max_new_tokens, on_token=on_token,
                 prefix_rope_hint=(self.server.max_len if self.prefix_cache
                                   else None))
+        if req.prefix is not None:
+            # validate HERE so an oversized prefix fails only THIS caller —
+            # the same check inside _admit would take down every in-flight
+            # request through the scheduler's pool-reset error path
+            Sp = req.prefix[0].shape[2]
+            need = (Sp + self.prompt_len + self.max_new_tokens
+                    + self.server.chunk * self.server._toks_per_iter)
+            if need > self.server.max_len:
+                raise ValueError(
+                    f"prefix ({Sp} slots) + question bucket "
+                    f"({self.prompt_len}) + budget need {need} cache slots "
+                    f"but the pool has max_len={self.server.max_len}; this "
+                    "video's pre-image prompt head is longer than the one "
+                    "the server was sized for")
         return self.scheduler.submit(req), duration
 
     def result_payload(self, tokens: np.ndarray, duration: float) -> dict:
@@ -177,24 +191,40 @@ def make_handler(frontend: ServingFrontend):
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            while True:
-                d = deltas.get()
-                if d is None:
-                    break
-                self.wfile.write(
-                    b"data: " + json.dumps({"delta": d}).encode() + b"\n\n")
+            # headers are out: from here NOTHING may raise into do_POST —
+            # its error handler would send_response() a SECOND time on the
+            # same connection (corrupt wire output)
+            try:
+                while True:
+                    d = deltas.get()
+                    if d is None:
+                        break
+                    self.wfile.write(
+                        b"data: " + json.dumps({"delta": d}).encode()
+                        + b"\n\n")
+                    self.wfile.flush()
+                tail = ts.flush()
+                if tail:
+                    self.wfile.write(
+                        b"data: " + json.dumps({"delta": tail}).encode()
+                        + b"\n\n")
+                payload = frontend.result_payload(fut.result(), duration)
+                payload["done"] = True
+                self.wfile.write(b"data: " + json.dumps(payload).encode()
+                                 + b"\n\n")
+                self.wfile.write(b"data: [DONE]\n\n")
                 self.wfile.flush()
-            tail = ts.flush()
-            if tail:
-                self.wfile.write(
-                    b"data: " + json.dumps({"delta": tail}).encode()
-                    + b"\n\n")
-            payload = frontend.result_payload(fut.result(), duration)
-            payload["done"] = True
-            self.wfile.write(b"data: " + json.dumps(payload).encode()
-                             + b"\n\n")
-            self.wfile.write(b"data: [DONE]\n\n")
-            self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client went away mid-stream
+            except Exception as e:  # noqa: BLE001 — surface in-band
+                try:
+                    self.wfile.write(
+                        b"data: " + json.dumps(
+                            {"error": f"{type(e).__name__}: {e}"}).encode()
+                        + b"\n\ndata: [DONE]\n\n")
+                    self.wfile.flush()
+                except OSError:
+                    pass
 
     return Handler
 

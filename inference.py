@@ -60,7 +60,8 @@ def parse_args():
     parser.add_argument("--video_path", type=str,
                         default="./experiments/video0.mp4")
     # generation (reference inference.py:45-49)
-    parser.add_argument("--do_sample", type=bool, default=True)
+    parser.add_argument("--do_sample",
+                        action=argparse.BooleanOptionalAction, default=True)
     parser.add_argument("--num_beams", type=int, default=1)
     parser.add_argument("--quantize", type=str, default="",
                         choices=["", "int8", "int8_full"],

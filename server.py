@@ -34,8 +34,11 @@ def parse_args():
     p.add_argument("--pool_size", type=int, default=4,
                    help="continuous-batching slots (HBM: each slot carries "
                         "a pool-length int8 KV cache)")
-    p.add_argument("--prompt_len", type=int, default=64,
-                   help="static text-prompt bucket (left-padded)")
+    p.add_argument("--prompt_len", type=int, default=256,
+                   help="static text-prompt bucket (left-padded); must hold "
+                        "the full rendered prompt through the <image> token "
+                        "— the engine rejects prompts whose image slot "
+                        "would truncate away")
     p.add_argument("--max_new_tokens", type=int, default=64,
                    help="pool token budget (per-request budgets may be "
                         "lower)")
@@ -57,7 +60,8 @@ def parse_args():
                    choices=["", "int8", "int8_full"])
     p.add_argument("--temperature", type=float, default=0.2)
     p.add_argument("--top_p", type=float, default=None)
-    p.add_argument("--do_sample", type=bool, default=True)
+    p.add_argument("--do_sample", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--feature_cache_size", type=int, default=8)
     p.add_argument("--debug_tiny", action="store_true",
                    help="micro model dims (smoke server; CPU-safe)")

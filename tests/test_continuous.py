@@ -264,6 +264,47 @@ def test_mixed_prefix_admission_batches_same_prefix_only(micro_model):
         np.testing.assert_array_equal(got[i], want), i
 
 
+def test_scheduler_recovers_after_admission_error(micro_model):
+    """An admission failure (oversized prefix for the pool) must fail the
+    offending future AND leave the pool serviceable: queued work is
+    dropped, slots free, and a subsequent good request completes."""
+    from grounded_video_llm_tpu.serve.continuous import ContinuousScheduler
+
+    cfg, params = micro_model
+    max_new = 4
+    reqs = _make_requests(cfg, 2)
+    # pool sized WITHOUT prefix_len → a LONG-pre prefix request overflows
+    server = ContinuousServer(params, cfg, pool_size=1, prompt_len=10,
+                              max_new_tokens=max_new, chunk=2,
+                              temperature=0.0, do_sample=False,
+                              eos_token_id=EOS, pad_token_id=PAD)
+    from grounded_video_llm_tpu.serve.generate import build_prefix_kv
+
+    long_pre = jnp.asarray(
+        np.random.default_rng(0).integers(3, 50, size=(1, 160)).astype(
+            np.int32))
+    feats = vlm.encode_video_jit(
+        params, cfg, jnp.asarray(reqs[0].spatial_pixels[None]),
+        jnp.asarray(reqs[0].temporal_pixels[None]))
+    prefix = build_prefix_kv(params, cfg, long_pre,
+                             jnp.ones_like(long_pre), feats, server.max_len)
+    bad = reqs[0]._replace(input_ids=reqs[0].input_ids[3:],
+                           attn_mask=reqs[0].attn_mask[3:],
+                           spatial_pixels=None, temporal_pixels=None,
+                           prefix=prefix)
+    sched = ContinuousScheduler(server)
+    try:
+        fut_bad = sched.submit(bad)
+        with pytest.raises(ValueError):
+            fut_bad.result(timeout=120)
+        fut_ok = sched.submit(reqs[1])
+        got = fut_ok.result(timeout=300)
+        want = _reference_greedy(params, cfg, reqs[1], max_new)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        sched.shutdown()
+
+
 def test_mixed_admission_does_not_mix_programs(micro_model):
     """admit_batch=2 with alternating pixel/feature requests: the take must
     cut at the type switch and still produce lockstep-parity tokens."""

@@ -217,6 +217,18 @@ def test_eval_routes_duplicates_through_cache():
     assert eng2.called == ["plain"]
 
 
+def test_make_continuous_request_rejects_truncated_image(micro_model,
+                                                         two_videos):
+    """A prompt bucket too small to hold the <image> token must raise — the
+    tail-keeping truncation would otherwise splice video features at slot 0
+    and return garbage with no error."""
+    cfg, params, tok = micro_model
+    eng, _ = _counting_engine(params, cfg, tok, cache_size=2)
+    with pytest.raises(ValueError, match="image"):
+        eng.make_continuous_request(two_videos[0], "what happens?",
+                                    prompt_len=8)
+
+
 def test_make_continuous_request(micro_model, two_videos):
     """Engine → feature-backed continuous Request: encode dedup via the
     cache, fixed prompt bucket, exactly one image token, servable."""
