@@ -147,6 +147,73 @@ def main():
     server.state = None
     gc.collect()
 
+    # ---------------- prefix-KV admission (optional leg) ----------------
+    # repeated-video serving: ONE shared [pre | video tokens] prefix, each
+    # request admits with only its question-chunk prefill
+    # (_prefill_batch_from_prefix). BENCH_CONT_PREFIX=1 enables.
+    prefix_stats = None
+    if os.environ.get("BENCH_CONT_PREFIX", "0") == "1":
+        from grounded_video_llm_tpu.serve.generate import build_prefix_kv
+
+        posts = ids[:, 2:]                       # after [pre, IMG]
+        pre_arr = jnp.asarray(ids[:1, :1])
+        feats = jnp.zeros((1, cfg.num_video_tokens, cfg.llm.hidden_size),
+                          jnp.bfloat16)
+        server2 = ContinuousServer(
+            params, cfg, pool_size=POOL, prompt_len=posts.shape[1],
+            max_new_tokens=MAX_NEW, chunk=CHUNK, eos_token_id=EOS,
+            pad_token_id=PAD, prefix_len=1 + cfg.num_video_tokens)
+        prefix = build_prefix_kv(params, cfg, pre_arr,
+                                 jnp.ones_like(pre_arr), feats,
+                                 server2.max_len)
+        jax.block_until_ready(prefix)
+        reqs2 = [Request(posts[i], np.ones(posts.shape[1], np.int32), None,
+                         None, max_new_tokens=budgets[i], prefix=prefix)
+                 for i in range(N)]
+        t = time.time()
+        server2.serve([reqs2[0]._replace(max_new_tokens=CHUNK + 1),
+                       reqs2[1]._replace(max_new_tokens=CHUNK + 1)])
+        print(f"prefix compile+warmup: {time.time()-t:.1f}s",
+              file=sys.stderr)
+        admit2, chunk2, done2 = [0.0], [0.0], {}
+        ra, rc = server2._admit, server2._run_chunk
+
+        def timed_admit2(pending, emitted, results):
+            before = set(results)
+            t = time.time()
+            ra(pending, emitted, results)
+            admit2[0] += time.time() - t
+            for rid in set(results) - before:
+                done2[rid] = time.time()
+
+        def timed_chunk2(emitted, results):
+            before = set(results)
+            t = time.time()
+            rc(emitted, results)
+            chunk2[0] += time.time() - t
+            for rid in set(results) - before:
+                done2[rid] = time.time()
+
+        server2._admit, server2._run_chunk = timed_admit2, timed_chunk2
+        t_start = time.time()
+        outs2 = server2.serve(reqs2)
+        wall2 = time.time() - t_start
+        toks2 = sum(len(o) for o in outs2)
+        lat2 = np.asarray(sorted(done2[i] - t_start for i in range(N)))
+        prefix_stats = {
+            "prefix_tok_per_sec": round(toks2 / wall2, 2),
+            "prefix_admit_stall_frac": round(admit2[0] / wall2, 3),
+            "prefix_p50_s": round(float(np.percentile(lat2, 50)), 2),
+            "prefix_p95_s": round(float(np.percentile(lat2, 95)), 2),
+        }
+        print(f"prefix-admission: {wall2:.2f}s wall, {toks2} tokens "
+              f"({toks2 / wall2:.1f} tok/s) | admit {admit2[0]:.2f}s "
+              f"({100*admit2[0]/wall2:.0f}%), decode {chunk2[0]:.2f}s | "
+              f"p50 {np.percentile(lat2, 50):.2f}s "
+              f"p95 {np.percentile(lat2, 95):.2f}s", file=sys.stderr)
+        server2.state = None
+        gc.collect()
+
     # ---------------- lockstep engine ----------------
     # batches of POOL, sorted-by-budget admission is the STRONGEST lockstep
     # baseline (minimizes in-batch raggedness) — report both orders
@@ -191,7 +258,7 @@ def main():
 
     import json
 
-    print(json.dumps({
+    out = {
         "metric": "continuous_vs_lockstep_ragged_tok_per_sec",
         "continuous": round(cont_tps, 2),
         "lockstep_arrival": round(arr_tps, 2),
@@ -199,7 +266,10 @@ def main():
         "speedup_vs_best_lockstep": round(cont_tps / max(arr_tps, srt_tps), 3),
         "admit_stall_frac": round(admit_t[0] / cont_wall, 3),
         "useful_tokens": useful_tokens,
-    }))
+    }
+    if prefix_stats:
+        out.update(prefix_stats)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
