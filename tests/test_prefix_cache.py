@@ -186,6 +186,21 @@ def test_eval_routes_prefix_when_enabled():
     assert eng2.called == ["cached"]
 
 
+def test_prefix_generation_with_sliding_window(micro_model):
+    """Finite sliding window over a PREFIX-BUILT cache: decode_step windows
+    on token positions via valid-slot rank (slot arithmetic would over-mask
+    prefix keys by the question chunk's pad count) — tokens must still
+    match the one-shot program, ragged questions included."""
+    from dataclasses import replace
+
+    cfg, params = micro_model
+    cfg_sw = replace(cfg, llm=replace(cfg.llm, sliding_window=4))
+    ref, ref_len, got, got_len = _run_both(cfg_sw, params, (2, 5, 3), True,
+                                           seed=9)
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(ref_len, got_len)
+
+
 def test_prefix_kv_is_shared_across_batches(micro_model):
     """The same prefix arrays serve two different query batches (the engine
     builds the prefix once per video and reuses it across batch chunks)."""
