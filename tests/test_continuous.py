@@ -264,6 +264,24 @@ def test_mixed_prefix_admission_batches_same_prefix_only(micro_model):
         np.testing.assert_array_equal(got[i], want), i
 
 
+def test_prefix_admission_with_speculative_chunks(micro_model):
+    """Prefix-admitted slots under speculative decode chunks (draft buffers
+    seed from the question chunk only) still match the lockstep reference —
+    the server allows --prefix_cache and --spec_draft_len together."""
+    cfg, params = micro_model
+    max_new = 5
+    reqs = _make_requests(cfg, 3)
+    kw = dict(pool_size=2, max_new_tokens=max_new, chunk=2, temperature=0.0,
+              do_sample=False, eos_token_id=EOS, pad_token_id=PAD)
+    server = ContinuousServer(params, cfg, prompt_len=7,
+                              prefix_len=2 + cfg.num_video_tokens,
+                              spec_draft_len=2, **kw)
+    got = server.serve(_prefixize(params, cfg, reqs, server.max_len))
+    for i, req in enumerate(reqs):
+        want = _reference_greedy(params, cfg, req, max_new)
+        np.testing.assert_array_equal(got[i], want), i
+
+
 def test_scheduler_recovers_after_admission_error(micro_model):
     """An admission failure (oversized prefix for the pool) must fail the
     offending future AND leave the pool serviceable: queued work is
