@@ -477,6 +477,7 @@ def prefill_continue(
     prefix_mask: jnp.ndarray,    # [Bp, Sp] 1/0
     max_len: int,
     quantize_cache: bool = True,
+    tail_len: Optional[int] = None,
 ):
     """Prefill a continuation chunk against a precomputed bf16 PREFIX KV —
     the prefix-cache serving path (serve/generate.generate_tokens_from_prefix):
@@ -494,8 +495,15 @@ def prefill_continue(
     analogue of HF/vLLM prompt-prefix caching (reference inherits none;
     beyond-parity serving axis).
 
-    Returns (last-position logits [B, V], cache, valid_mask [B, max_len],
-    next_positions [B])."""
+    tail_len: return a SharedPrefixCache instead (requires quantize_cache
+    and Bp == 1): the prefix stays at batch dim 1 (quantized once, never
+    broadcast) and only the chunk lands in a per-row tail of tail_len slots
+    — the decode_step_shared cascade layout. max_len still sets the RoPE
+    hint so factor selection matches the single-cache layout. The returned
+    valid_mask covers the TAIL only.
+
+    Returns (last-position logits [B, V], cache, valid_mask [B, max_len]
+    (or [B, tail_len]), next_positions [B])."""
     B, Sq, _ = chunk_embeds.shape
     L, Bp, Sp, Hkv, Dh = prefix_k.shape
     pm = jnp.broadcast_to(prefix_mask.astype(bool), (B, Sp))
@@ -543,6 +551,38 @@ def prefill_continue(
     logits = logits_from_hidden(params, x_last)[:, 0]
     pos_next = plen + jnp.sum(chunk_mask, axis=-1).astype(jnp.int32)
 
+    if tail_len is not None:
+        # SharedPrefixCache layout (decode_step_shared): prefix quantized
+        # once at Bp=1, chunk into a per-row tail at slots [0, Sq)
+        from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
+
+        if not quantize_cache or Bp != 1:
+            raise NotImplementedError(
+                "shared-prefix caches require quantize_cache=True and a "
+                "batch-1 prefix")
+
+        def hm(kv, pad_to):
+            q8, sc = qkv_fn(kv)                      # [L,b,S,Hkv,Dh]
+            q8 = q8.transpose(0, 1, 3, 4, 2)         # [L,b,Hkv,Dh,S]
+            sc = sc.transpose(0, 1, 3, 2)[:, :, :, None, :]
+            if pad_to > q8.shape[-1]:
+                extra = pad_to - q8.shape[-1]
+                q8 = jnp.pad(q8, ((0, 0),) * 4 + ((0, extra),))
+                sc = jnp.pad(sc, ((0, 0),) * 4 + ((0, extra),),
+                             constant_values=1.0)
+            return q8, sc
+
+        pkq, pks = hm(prefix_k, Sp)
+        pvq, pvs = hm(prefix_v, Sp)
+        tkq, tks = hm(new_ks, tail_len)
+        tvq, tvs = hm(new_vs, tail_len)
+        tail = QuantKVCache(tkq, tks, tvq, tvs,
+                            jnp.full((B,), Sq, jnp.int32))
+        spc = SharedPrefixCache(pkq, pks, pvq, pvs,
+                                prefix_mask.astype(jnp.int32), tail)
+        tail_valid = jnp.zeros((B, tail_len), bool).at[:, :Sq].set(cmask)
+        return logits, spc, tail_valid, pos_next
+
     if quantize_cache:
         from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
 
@@ -579,6 +619,194 @@ def prefill_continue(
     v_full = jnp.pad(jnp.concatenate([pv_b.astype(dt), new_vs.astype(dt)],
                                      axis=2), pad)
     return logits, KVCache(k_full, v_full, length), valid, pos_next
+
+
+class SharedPrefixCache(NamedTuple):
+    """Hydragen/cascade-style decode cache for prefix-cached serving: the
+    shared per-video prefix is stored ONCE (batch dim 1, int8, head-major
+    transposed like QuantKVCache) and attended as a batched GEMM that
+    streams it once per token for ALL rows; each row keeps only a small
+    per-row tail (question chunk + generated tokens) in a standard
+    QuantKVCache. Decode-attention DMA drops from B x (Sp + tail) to
+    Sp + B x tail bytes per token — decode is DMA-bound (CLAUDE.md: the
+    ~515 GB/s plateau), so for repeated-video serving (all batch rows on
+    one video) this is a ~B-fold cut of the dominant decode stream."""
+    pk: jnp.ndarray        # [L, 1, Hkv, Dh, Sp] int8
+    pk_scale: jnp.ndarray  # [L, 1, Hkv, 1, Sp] f32
+    pv: jnp.ndarray        # int8
+    pv_scale: jnp.ndarray  # f32
+    prefix_mask: jnp.ndarray  # [1, Sp] — valid prefix slots
+    tail: QuantKVCache     # [L, B, Hkv, Dh, Mt]
+
+
+def _dequant_hd(q8, scale, dtype):
+    """[.., Hkv, Dh, S] int8 x [.., Hkv, 1, S] f32 → dtype. XLA fuses the
+    convert-multiply into the consuming dot's operand stream, so the int8
+    bytes are what crosses HBM."""
+    return (q8.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _shared_prefix_attention(q, pk, pks, pv, pvs, keep_p, tk, tks, tv, tvs,
+                             keep_t, k_new, v_new, scale):
+    """One-token cascade attention: q [B,1,H,Dh] over [shared prefix
+    (batch-1 int8) ; per-row tail (int8) ; current-token rider]. fp32
+    scores/softmax (the attention fp32 island), one softmax across all
+    three segments — identical math to single-cache decode attention over
+    the concatenated slots."""
+    B, _, H, Dh = q.shape
+    Hkv = tk.shape[1]
+    groups = H // Hkv
+    dt = q.dtype
+    qg = q.reshape(B, Hkv, groups, Dh)
+    kp = _dequant_hd(pk, pks, dt)[0]                   # [Hkv, Dh, Sp]
+    sp = jnp.einsum("bhgd,hds->bhgs", qg, kp,
+                    preferred_element_type=jnp.float32) * scale
+    kt = _dequant_hd(tk, tks, dt)                      # [B, Hkv, Dh, Mt]
+    st = jnp.einsum("bhgd,bhds->bhgs", qg, kt,
+                    preferred_element_type=jnp.float32) * scale
+    sn = jnp.einsum("bhgd,bkhd->bhgk", qg, k_new,
+                    preferred_element_type=jnp.float32) * scale  # [B,h,g,1]
+    neg = jnp.finfo(jnp.float32).min
+    sp = jnp.where(keep_p[:, None, None], sp, neg)
+    st = jnp.where(keep_t[:, None, None], st, neg)
+    probs = jax.nn.softmax(
+        jnp.concatenate([sp, st, sn], axis=-1).astype(jnp.float32), axis=-1)
+    Sp = sp.shape[-1]
+    Mt = st.shape[-1]
+    pp = probs[..., :Sp].astype(dt)
+    pt = probs[..., Sp:Sp + Mt].astype(dt)
+    pn = probs[..., Sp + Mt:].astype(dt)
+    vp = _dequant_hd(pv, pvs, dt)[0]                   # [Hkv, Dh, Sp]
+    out = jnp.einsum("bhgs,hds->bhgd", pp, vp,
+                     preferred_element_type=jnp.float32)
+    vt = _dequant_hd(tv, tvs, dt)
+    out = out + jnp.einsum("bhgs,bhds->bhgd", pt, vt,
+                           preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bhgk,bkhd->bhgd", pn, v_new,
+                           preferred_element_type=jnp.float32)
+    return out.reshape(B, 1, H, Dh).astype(dt)
+
+
+def decode_step_shared(
+    params, cfg: LLMConfig, token_embeds: jnp.ndarray,  # [B, 1, D]
+    cache: SharedPrefixCache,
+    tail_valid: jnp.ndarray,   # [B, Mt] — attendable TAIL slots
+    positions: jnp.ndarray,    # [B] position ids of the new token
+    rope_hint: Optional[int] = None,  # LongRoPE factor-selection hint; pass
+    #                           the equivalent single-cache max_len so the
+    #                           shared and non-shared paths pick identical
+    #                           factor sets (default Sp + Mt)
+):
+    """decode_step over a SharedPrefixCache: same contract (append the new
+    token's k/v — to the TAIL — and attend over prefix+tail+rider), but the
+    shared prefix streams once per token for the whole batch. Pure-XLA
+    attention: the prefix segment is a plain [B*H, Dh] x [Dh, Sp] batched
+    GEMM (MXU, int8 dequant fused into the operand stream) and the tail is
+    too small to merit the Pallas kernel. Replaces the HF decode hot loop
+    for the prefix-cached serving path (reference modeling_phi3.py:
+    1554-1615); the cascade split is the Hydragen/shared-prefix scheme."""
+    B = token_embeds.shape[0]
+    L, _, Hkv, Dh, Sp = cache.pk.shape
+    Mt = cache.tail.max_len
+    pm = cache.prefix_mask.astype(bool)                        # [1, Sp]
+    plen = jnp.sum(pm, axis=-1).astype(jnp.int32)              # [1]
+    cos, sin = llm_rope_tables(
+        cfg, positions[:, None],
+        seq_len_hint=rope_hint if rope_hint is not None else Sp + Mt)
+    write_idx = jnp.minimum(cache.tail.length, Mt - 1)         # [B]
+
+    keep_p = jnp.broadcast_to(pm, (B, Sp))
+    keep_t = tail_valid.astype(bool)
+    if cfg.sliding_window is not None:
+        # positional windowing, same rationale as decode_step
+        pkpos = jnp.cumsum(pm.astype(jnp.int32), axis=-1) - 1  # [1, Sp]
+        tkpos = plen[:, None] + jnp.cumsum(
+            tail_valid.astype(jnp.int32), axis=-1) - 1         # [B, Mt]
+        keep_p = keep_p & (positions[:, None] - pkpos
+                           < cfg.sliding_window)
+        keep_t = keep_t & (positions[:, None] - tkpos
+                           < cfg.sliding_window)
+
+    lay = params["layers"]
+    quant_indexed = isinstance(lay["qkv_kernel"], dict)
+    scale = cfg.head_dim ** -0.5
+
+    if quant_indexed:
+        from ..ops.int8_matmul import int8_matmul_layer
+
+        use_w8a8 = "w8a8" in lay["qkv_kernel"]
+
+        def mm(x2d, kern, li):
+            return int8_matmul_layer(x2d, kern["q"], kern["scale"], li,
+                                     w8a8=use_w8a8)
+
+        def body(x, xs_i):
+            norm_in, norm_post, li = xs_i
+            h = rms_norm(x, norm_in, cfg.rms_eps)
+            qkv = mm(h[:, 0, :], lay["qkv_kernel"], li)[:, None, :]
+            q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim],
+                                axis=-1)
+            q = q.reshape(B, 1, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(B, 1, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(B, 1, cfg.num_kv_heads, cfg.head_dim)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = _shared_prefix_attention(
+                q, cache.pk[li], cache.pk_scale[li], cache.pv[li],
+                cache.pv_scale[li], keep_p, cache.tail.k[li],
+                cache.tail.k_scale[li], cache.tail.v[li],
+                cache.tail.v_scale[li], keep_t, k, v, scale)
+            x = x + mm(attn.reshape(B, cfg.q_dim), lay["o_kernel"],
+                       li)[:, None, :]
+            h = rms_norm(x, norm_post, cfg.rms_eps)
+            gate_up = mm(h[:, 0, :], lay["gate_up_kernel"], li)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            x = x + mm(jax.nn.silu(gate) * up, lay["down_kernel"],
+                       li)[:, None, :]
+            return x, (k[:, 0], v[:, 0])
+
+        n_layers = lay["input_norm_w"].shape[0]
+        xs = (lay["input_norm_w"], lay["post_norm_w"],
+              jnp.arange(n_layers, dtype=jnp.int32))
+        x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+    else:
+        def body(x, layer_inputs):
+            (lp, pk_l, pks_l, pv_l, pvs_l,
+             tk_l, tks_l, tv_l, tvs_l) = layer_inputs
+            h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
+            q, k, v = _qkv(h, lp, cfg)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = _shared_prefix_attention(
+                q, pk_l, pks_l, pv_l, pvs_l, keep_p,
+                tk_l, tks_l, tv_l, tvs_l, keep_t, k, v, scale)
+            x = x + _dense(attn.reshape(B, 1, cfg.q_dim), lp["o_kernel"],
+                           lp, "o")
+            h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
+            x = x + _mlp(h, lp, cfg)
+            return x, (k[:, 0], v[:, 0])
+
+        xs = (params["layers"], cache.pk, cache.pk_scale, cache.pv,
+              cache.pv_scale, cache.tail.k, cache.tail.k_scale,
+              cache.tail.v, cache.tail.v_scale)
+        x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+
+    # single deferred per-row tail write (same Pallas scatter as decode_step;
+    # the tail is small, so the rewritten 128-lane tile is cheap)
+    from ..ops.cache_write import scatter_write_kv, scatter_write_scale
+    from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
+
+    kq, ksc = qkv_fn(new_ks)
+    vq, vsc = qkv_fn(new_vs)
+    new_tail = QuantKVCache(
+        scatter_write_kv(cache.tail.k, kq, write_idx),
+        scatter_write_scale(cache.tail.k_scale, ksc, write_idx),
+        scatter_write_kv(cache.tail.v, vq, write_idx),
+        scatter_write_scale(cache.tail.v_scale, vsc, write_idx),
+        cache.tail.length + 1)
+    slot = jnp.arange(Mt)[None, :] == write_idx[:, None]
+    tail_valid = tail_valid.astype(bool) | slot
+    x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
+    logits = logits_from_hidden(params, x)[:, 0]
+    return logits, cache._replace(tail=new_tail), tail_valid
 
 
 def decode_step(

@@ -641,7 +641,11 @@ class InferenceEngine:
                         do_sample=g.do_sample,
                         eos_token_id=self.tokenizer.eos_token_id,
                         pad_token_id=self.tokenizer.pad_token_id,
-                        quantize_cache=g.quantize_cache)
+                        quantize_cache=g.quantize_cache,
+                        # cascade decode (decode_step_shared): the prefix
+                        # int8 KV streams once per token for the whole
+                        # batch; int8-cache serving only
+                        shared_prefix=g.quantize_cache)
                     texts = decode_texts(self.tokenizer, tokens, lengths,
                                          self.tokenizer.eos_token_id)
                     for i, text in zip(chunk, texts[:kq]):

@@ -106,11 +106,14 @@ def _generate_from_features(
 def _decode_loop(
     params, cfg: VLMConfig, logits, cache, valid0, pos0, rng,
     *, max_new_tokens, temperature, top_p, do_sample, eos_token_id,
-    pad_token_id,
+    pad_token_id, step_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample the first token from the prefill logits, then run the jitted
     while-loop decode. Shared by the one-shot, from-features, and from-prefix
-    prefill variants."""
+    prefill variants. step_fn(params, cfg, emb, cache, valid, positions)
+    overrides llm.decode_step (the shared-prefix cascade path)."""
+    if step_fn is None:
+        step_fn = llm_mod.decode_step
     B = logits.shape[0]
     rng, sub = jax.random.split(rng)
     tok0 = sample_logits(logits, sub, temperature, top_p, do_sample)
@@ -128,7 +131,7 @@ def _decode_loop(
         # dtype follows the embedding table, NOT the cache (int8-cache mode)
         token_embeds = llm_mod.embed_lookup(
             params["llm"]["embed"], st.cur_token)[:, None, :]
-        logits, cache, valid = llm_mod.decode_step(
+        logits, cache, valid = step_fn(
             params["llm"], cfg.llm, token_embeds,
             st.cache, st.valid_mask, st.positions)
         rng, sub = jax.random.split(st.rng)
@@ -237,7 +240,7 @@ def build_prefix_kv(params, cfg: VLMConfig,
 
 _PREFIX_STATICS = ("cfg", "max_new_tokens", "temperature", "top_p",
                    "do_sample", "eos_token_id", "pad_token_id",
-                   "quantize_cache")
+                   "quantize_cache", "shared_prefix")
 
 
 @functools.partial(jax.jit, static_argnames=_PREFIX_STATICS)
@@ -258,6 +261,7 @@ def generate_tokens_from_prefix(
     eos_token_id: int = 2,
     pad_token_id: int = 0,
     quantize_cache: bool = False,
+    shared_prefix: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generation over a per-video cached prefix KV: each query prefills only
     its question chunk (llm.prefill_continue) instead of the full ~3.6k-token
@@ -265,7 +269,13 @@ def generate_tokens_from_prefix(
     cache (encode once AND prefill the shared head once per video). The
     decode phase sees the same int8 cache values full prefill would
     quantize, so tokens match generate_tokens_from_features up to the
-    attention-reduction rounding of the question rows."""
+    attention-reduction rounding of the question rows.
+
+    shared_prefix: decode through llm.decode_step_shared (Hydragen/cascade
+    layout — the prefix int8 KV is stored once at batch dim 1 and streamed
+    once per token for ALL rows instead of once per row; decode is
+    DMA-bound, so for same-video batches this cuts the dominant decode
+    stream ~B-fold). Requires quantize_cache=True."""
     from ..models import llm as llm_mod
 
     B, Sq = post_ids.shape
@@ -274,6 +284,18 @@ def generate_tokens_from_prefix(
     lp = params["llm"]
     chunk_embeds = llm_mod.embed_lookup(lp["embed"], post_ids,
                                         llm_mod.embed_dtype(lp["embed"]))
+    if shared_prefix:
+        tail_len = -(-(Sq + max_new_tokens) // 128) * 128
+        logits, cache, valid0, pos0 = llm_mod.prefill_continue(
+            lp, cfg.llm, chunk_embeds, post_mask, prefix_k, prefix_v,
+            prefix_mask, max_len, quantize_cache=True, tail_len=tail_len)
+        step_fn = functools.partial(llm_mod.decode_step_shared,
+                                    rope_hint=max_len)
+        return _decode_loop(
+            params, cfg, logits, cache, valid0, pos0, rng,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, do_sample=do_sample, eos_token_id=eos_token_id,
+            pad_token_id=pad_token_id, step_fn=step_fn)
     logits, cache, valid0, pos0 = llm_mod.prefill_continue(
         lp, cfg.llm, chunk_embeds, post_mask, prefix_k, prefix_v,
         prefix_mask, max_len, quantize_cache=quantize_cache)

@@ -51,7 +51,8 @@ def _inputs(cfg, B, pre_len=3, q_lens=(4, 4, 4), seed=0):
     return ids, mask, pre[None], post_ids, post_mask, feats
 
 
-def _run_both(cfg, params, q_lens, quantize_cache, seed=0):
+def _run_both(cfg, params, q_lens, quantize_cache, seed=0,
+              shared_prefix=False):
     B = len(q_lens)
     ids, mask, pre_ids, post_ids, post_mask, feats = _inputs(
         cfg, B, q_lens=q_lens, seed=seed)
@@ -71,7 +72,7 @@ def _run_both(cfg, params, q_lens, quantize_cache, seed=0):
         jnp.ones_like(jnp.asarray(pre_ids)), jnp.asarray(feats), rope_hint)
     got, got_len = generate_tokens_from_prefix(
         params, cfg, jnp.asarray(post_ids), jnp.asarray(post_mask),
-        k, v, pmask, jax.random.key(0), **kw)
+        k, v, pmask, jax.random.key(0), shared_prefix=shared_prefix, **kw)
     return (np.asarray(ref), np.asarray(ref_len),
             np.asarray(got), np.asarray(got_len))
 
@@ -152,6 +153,28 @@ def test_run_stream_prefix_matches_cached(micro_model, two_videos, mode):
     assert durs[0] == durs[2] == durs[4] and durs[1] == durs[3]
 
 
+def test_run_stream_prefix_shared_route(micro_model, two_videos):
+    """quantize_cache=True routes run_stream_prefix through the cascade
+    decode (decode_step_shared); greedy texts must match the full-prefill
+    cached path under the same gen config."""
+    from grounded_video_llm_tpu.core.config import GenerateConfig
+    from grounded_video_llm_tpu.serve.engine import InferenceEngine
+    from grounded_video_llm_tpu.text.tokenizer import build_test_tokenizer
+
+    cfg, params = micro_model
+    tok = build_test_tokenizer("phi3.5")
+    g = GenerateConfig(max_new_tokens=4, do_sample=False, temperature=0.0,
+                       quantize_cache=True)
+    v0, v1 = two_videos
+    paths = [v0, v0, v1, v0]
+    prompts = [f"query {i}?" for i in range(len(paths))]
+    eng = InferenceEngine(params, cfg, tok, gen_cfg=g, feature_cache_size=4)
+    base = eng.run_stream_cached(paths, prompts, mode="qa", batch_size=2)
+    out = eng.run_stream_prefix(paths, prompts, mode="qa", batch_size=2,
+                                question_len=32)
+    assert [r.text for r in out] == [r.text for r in base]
+
+
 def test_eval_routes_prefix_when_enabled():
     """serve.eval._run_items picks run_stream_prefix iff the engine opts in
     (prefix_cache=True) AND the workload repeats videos."""
@@ -184,6 +207,65 @@ def test_eval_routes_prefix_when_enabled():
     eng2.prefix_cache = False
     eval_mod._run_items(eng2, dup, ["p"] * 3, "grounding", "", 2)
     assert eng2.called == ["cached"]
+
+
+def test_shared_prefix_decode_matches_full_prefill(micro_model):
+    """Cascade decode (decode_step_shared over SharedPrefixCache: the
+    prefix int8 KV stored once at batch dim 1, per-row tails) must produce
+    the same greedy tokens as the one-shot full-prefill program — ragged
+    questions included."""
+    cfg, params = micro_model
+    ref, ref_len, got, got_len = _run_both(cfg, params, (2, 5, 3), True,
+                                           seed=11, shared_prefix=True)
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(ref_len, got_len)
+
+
+def test_shared_prefix_decode_with_sliding_window(micro_model):
+    """Cascade decode under a finite sliding window (positional windowing
+    across the prefix/tail split): TEACHER-FORCED step-level logits must
+    track the single-cache decode closely. (Free-running token equality is
+    the wrong contract here: a window of 4 on the micro model produces
+    top-2 margins down to ~3e-4, so the XLA-vs-Pallas attention reduction
+    order legitimately flips near-ties — measured logits agreement is
+    ~1e-3 while margins collapse.)"""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from grounded_video_llm_tpu.models import llm as llm_mod
+
+    cfg0, params = micro_model
+    cfg = replace(cfg0, llm=replace(cfg0.llm, sliding_window=4))
+    ids, mask, pre_ids, post_ids, post_mask, feats = _inputs(
+        cfg, 3, q_lens=(3, 4, 2), seed=13)
+    Sp = pre_ids.shape[1] + cfg.num_video_tokens
+    Sq = post_ids.shape[1]
+    max_len = -(-(Sp + Sq + MAX_NEW) // 128) * 128
+    tail_len = -(-(Sq + MAX_NEW) // 128) * 128
+    k, v, pmask = build_prefix_kv(
+        params, cfg, jnp.asarray(pre_ids),
+        jnp.ones_like(jnp.asarray(pre_ids)), jnp.asarray(feats), max_len)
+    lp = params["llm"]
+    emb = llm_mod.embed_lookup(lp["embed"], jnp.asarray(post_ids),
+                               llm_mod.embed_dtype(lp["embed"]))
+    lg1, c1, v1, p1 = llm_mod.prefill_continue(
+        lp, cfg.llm, emb, jnp.asarray(post_mask), k, v, pmask, max_len,
+        quantize_cache=True)
+    lg2, c2, v2, p2 = llm_mod.prefill_continue(
+        lp, cfg.llm, emb, jnp.asarray(post_mask), k, v, pmask, max_len,
+        quantize_cache=True, tail_len=tail_len)
+    np.testing.assert_array_equal(np.asarray(lg1), np.asarray(lg2))
+    cur = jnp.argmax(lg1, -1).astype(jnp.int32)  # same forced stream
+    for _ in range(4):
+        e = llm_mod.embed_lookup(lp["embed"], cur)[:, None, :]
+        lg1, c1, v1 = llm_mod.decode_step(lp, cfg.llm, e, c1, v1, p1)
+        lg2, c2, v2 = llm_mod.decode_step_shared(lp, cfg.llm, e, c2, v2, p2,
+                                                 rope_hint=max_len)
+        np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2),
+                                   atol=2e-2, rtol=0)
+        p1, p2 = p1 + 1, p2 + 1
+        cur = jnp.argmax(lg1, -1).astype(jnp.int32)
 
 
 def test_prefix_generation_with_sliding_window(micro_model):
