@@ -49,11 +49,13 @@ def test_sharded_generate_matches_single_device(mesh_shape):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
-def test_sharded_prefix_generate_matches_single_device():
+@pytest.mark.parametrize("shared", [False, True])
+def test_sharded_prefix_generate_matches_single_device(shared):
     """Prefix-KV serving (build_prefix_kv + prefill_continue's rectangular
-    split-PV attention + quantize-on-assemble cache) over FSDP/TP-sharded
-    params == single-device tokens — the multi-chip path for prefix-cached
-    eval workloads."""
+    split-PV attention + quantize-on-assemble cache; shared=True adds the
+    cascade decode over SharedPrefixCache) over FSDP/TP-sharded params ==
+    single-device tokens — the multi-chip path for prefix-cached eval
+    workloads."""
     assert len(jax.devices()) == 8
     from grounded_video_llm_tpu.serve.generate import (
         build_prefix_kv, generate_tokens_from_prefix)
@@ -69,7 +71,8 @@ def test_sharded_prefix_generate_matches_single_device():
     Sp = pre_ids.shape[1] + cfg.num_video_tokens
     hint = -(-(Sp + post_ids.shape[1] + 4) // 128) * 128
     kw = dict(max_new_tokens=4, temperature=0.0, do_sample=False,
-              eos_token_id=-2, pad_token_id=0, quantize_cache=True)
+              eos_token_id=-2, pad_token_id=0, quantize_cache=True,
+              shared_prefix=shared)
 
     def run(p):
         k, v, pm = build_prefix_kv(p, cfg, jnp.asarray(pre_ids),
