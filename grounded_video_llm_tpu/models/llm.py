@@ -1115,6 +1115,155 @@ def verify_step(
     return logits, new_cache
 
 
+def verify_step_shared(
+    params, cfg: LLMConfig, token_embeds: jnp.ndarray,  # [B, S, D]
+    cache: SharedPrefixCache,
+    tail_valid: jnp.ndarray,   # [B, Mt] — committed TAIL slots
+    positions: jnp.ndarray,    # [B, S]
+    rope_hint: Optional[int] = None,
+):
+    """verify_step over a SharedPrefixCache: score S candidates in one pass
+    where the shared prefix streams ONCE for the whole batch — compounding
+    the two decode DMA levers (speculative verify amortizes the stream
+    across S tokens; the cascade split amortizes it across B rows).
+    Candidates' k/v land at tail slots tail.length..+S-1; lengths and
+    tail_valid are NOT advanced — call commit_verify on the TAIL with the
+    accepted count. Pure-XLA cascade attention like decode_step_shared,
+    plus a causal intra-candidate block."""
+    B, S = token_embeds.shape[:2]
+    L, _, Hkv, Dh, Sp = cache.pk.shape
+    Mt = cache.tail.max_len
+    pm = cache.prefix_mask.astype(bool)                        # [1, Sp]
+    plen = jnp.sum(pm, axis=-1).astype(jnp.int32)              # [1]
+    cos, sin = llm_rope_tables(
+        cfg, positions,
+        seq_len_hint=rope_hint if rope_hint is not None else Sp + Mt)
+    base = jnp.minimum(cache.tail.length, Mt - S)              # [B]
+
+    keep_p = jnp.broadcast_to(pm[:, None, :], (B, S, Sp))
+    keep_t = jnp.broadcast_to(tail_valid.astype(bool)[:, None, :],
+                              (B, S, Mt))
+    if cfg.sliding_window is not None:
+        pkpos = jnp.cumsum(pm.astype(jnp.int32), axis=-1) - 1  # [1, Sp]
+        tkpos = plen[:, None] + jnp.cumsum(
+            tail_valid.astype(jnp.int32), axis=-1) - 1         # [B, Mt]
+        keep_p = keep_p & (positions[:, :, None] - pkpos[:, None, :]
+                           < cfg.sliding_window)
+        keep_t = keep_t & (positions[:, :, None] - tkpos[:, None, :]
+                           < cfg.sliding_window)
+    causal = jnp.tril(jnp.ones((S, S), bool))[None]            # [1, S, S]
+    scale = cfg.head_dim ** -0.5
+    groups = cfg.num_heads // cfg.num_kv_heads
+    neg = jnp.finfo(jnp.float32).min
+
+    lay = params["layers"]
+    quant_indexed = isinstance(lay["qkv_kernel"], dict)
+
+    def cascade(q, k_c, v_c, pk_l, pks_l, pv_l, pvs_l, tk_l, tks_l, tv_l,
+                tvs_l):
+        dt = q.dtype
+        qg = q.reshape(B, S, Hkv, groups, Dh)
+        kp = _dequant_hd(pk_l, pks_l, dt)[0]
+        sp = jnp.einsum("bqhgd,hds->bhgqs", qg, kp,
+                        preferred_element_type=jnp.float32) * scale
+        kt = _dequant_hd(tk_l, tks_l, dt)
+        st = jnp.einsum("bqhgd,bhds->bhgqs", qg, kt,
+                        preferred_element_type=jnp.float32) * scale
+        sc = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_c,
+                        preferred_element_type=jnp.float32) * scale
+        sp = jnp.where(keep_p[:, None, None], sp, neg)
+        st = jnp.where(keep_t[:, None, None], st, neg)
+        sc = jnp.where(causal[:, None, None], sc, neg)
+        probs = jax.nn.softmax(
+            jnp.concatenate([sp, st, sc], axis=-1).astype(jnp.float32),
+            axis=-1)
+        pp = probs[..., :Sp].astype(dt)
+        pt = probs[..., Sp:Sp + Mt].astype(dt)
+        pc = probs[..., Sp + Mt:].astype(dt)
+        vp = _dequant_hd(pv_l, pvs_l, dt)[0]
+        out = jnp.einsum("bhgqs,hds->bqhgd", pp, vp,
+                         preferred_element_type=jnp.float32)
+        vt = _dequant_hd(tv_l, tvs_l, dt)
+        out = out + jnp.einsum("bhgqs,bhds->bqhgd", pt, vt,
+                               preferred_element_type=jnp.float32)
+        out = out + jnp.einsum("bhgqk,bkhd->bqhgd", pc, v_c,
+                               preferred_element_type=jnp.float32)
+        return out.reshape(B, S, cfg.num_heads, Dh).astype(dt)
+
+    if quant_indexed:
+        from ..ops.int8_matmul import int8_matmul_layer
+
+        use_w8a8 = "w8a8" in lay["qkv_kernel"]
+
+        def mm(x2d, kern, li):
+            return int8_matmul_layer(x2d, kern["q"], kern["scale"], li,
+                                     w8a8=use_w8a8)
+
+        def body(x, xs_i):
+            norm_in, norm_post, li = xs_i
+            h = rms_norm(x, norm_in, cfg.rms_eps)
+            qkv = mm(h.reshape(B * S, -1), lay["qkv_kernel"],
+                     li).reshape(B, S, -1)
+            q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim],
+                                axis=-1)
+            q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = cascade(q, k, v, cache.pk[li], cache.pk_scale[li],
+                           cache.pv[li], cache.pv_scale[li],
+                           cache.tail.k[li], cache.tail.k_scale[li],
+                           cache.tail.v[li], cache.tail.v_scale[li])
+            x = x + mm(attn.reshape(B * S, cfg.q_dim), lay["o_kernel"],
+                       li).reshape(B, S, -1)
+            h = rms_norm(x, norm_post, cfg.rms_eps)
+            gate_up = mm(h.reshape(B * S, -1), lay["gate_up_kernel"], li)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            x = x + mm(jax.nn.silu(gate) * up, lay["down_kernel"],
+                       li).reshape(B, S, -1)
+            return x, (k, v)
+
+        n_layers = lay["input_norm_w"].shape[0]
+        xs = (lay["input_norm_w"], lay["post_norm_w"],
+              jnp.arange(n_layers, dtype=jnp.int32))
+        x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+    else:
+        def body(x, layer_inputs):
+            (lp, pk_l, pks_l, pv_l, pvs_l,
+             tk_l, tks_l, tv_l, tvs_l) = layer_inputs
+            h = rms_norm(x, lp["input_norm_w"], cfg.rms_eps)
+            q, k, v = _qkv(h, lp, cfg)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = cascade(q, k, v, pk_l, pks_l, pv_l, pvs_l,
+                           tk_l, tks_l, tv_l, tvs_l)
+            x = x + _dense(attn.reshape(B, S, cfg.q_dim), lp["o_kernel"],
+                           lp, "o")
+            h = rms_norm(x, lp["post_norm_w"], cfg.rms_eps)
+            x = x + _mlp(h, lp, cfg)
+            return x, (k, v)
+
+        xs = (params["layers"], cache.pk, cache.pk_scale, cache.pv,
+              cache.pv_scale, cache.tail.k, cache.tail.k_scale,
+              cache.tail.v, cache.tail.v_scale)
+        x, (new_ks, new_vs) = jax.lax.scan(body, token_embeds, xs)
+
+    from ..ops.cache_write import (scatter_write_kv_multi,
+                                   scatter_write_scale_multi)
+    from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
+
+    kq, ksc = qkv_fn(new_ks)   # [L,B,S,Hkv,D] i8, [L,B,S,Hkv]
+    vq, vsc = qkv_fn(new_vs)
+    new_tail = QuantKVCache(
+        scatter_write_kv_multi(cache.tail.k, kq, base),
+        scatter_write_scale_multi(cache.tail.k_scale, ksc, base),
+        scatter_write_kv_multi(cache.tail.v, vq, base),
+        scatter_write_scale_multi(cache.tail.v_scale, vsc, base),
+        cache.tail.length)
+    x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
+    logits = logits_from_hidden(params, x)     # [B, S, V]
+    return logits, cache._replace(tail=new_tail)
+
+
 def commit_verify(cache, valid_mask: jnp.ndarray, n_accept: jnp.ndarray,
                   draft_len: int):
     """Commit the first n_accept[b] of the draft_len candidate slots written

@@ -562,9 +562,9 @@ class InferenceEngine:
         from .generate import build_prefix_kv, generate_tokens_from_prefix
 
         g = gen_cfg or self.gen_cfg
-        if g.num_beams > 1 or g.spec_draft_len > 0:
+        if g.num_beams > 1:
             raise NotImplementedError(
-                "prefix-cached streaming supports lockstep sampling only")
+                "prefix-cached streaming does not support beam search")
         n = len(video_paths)
         assert n == len(prompts)
         groups: "OrderedDict[str, List[int]]" = OrderedDict()
@@ -633,19 +633,29 @@ class InferenceEngine:
                         cposts = cposts + [cposts[-1]] * (batch_size - kq)
                     ids, mask = self._pad_bucket_batch(cposts, question_len)
                     self._rng, sub = jax.random.split(self._rng)
-                    tokens, lengths = generate_tokens_from_prefix(
-                        self.params, self.cfg, jnp.asarray(ids),
-                        jnp.asarray(mask), k, v, pmask, sub,
+                    common = dict(
                         max_new_tokens=g.max_new_tokens,
                         temperature=g.temperature, top_p=g.top_p,
                         do_sample=g.do_sample,
                         eos_token_id=self.tokenizer.eos_token_id,
-                        pad_token_id=self.tokenizer.pad_token_id,
-                        quantize_cache=g.quantize_cache,
-                        # cascade decode (decode_step_shared): the prefix
-                        # int8 KV streams once per token for the whole
-                        # batch; int8-cache serving only
-                        shared_prefix=g.quantize_cache)
+                        pad_token_id=self.tokenizer.pad_token_id)
+                    if g.spec_draft_len > 0:
+                        from .speculative import (
+                            generate_tokens_spec_from_prefix)
+
+                        tokens, lengths = generate_tokens_spec_from_prefix(
+                            self.params, self.cfg, jnp.asarray(ids),
+                            jnp.asarray(mask), k, v, pmask, sub,
+                            draft_len=g.spec_draft_len, **common)
+                    else:
+                        tokens, lengths = generate_tokens_from_prefix(
+                            self.params, self.cfg, jnp.asarray(ids),
+                            jnp.asarray(mask), k, v, pmask, sub,
+                            quantize_cache=g.quantize_cache,
+                            # cascade decode (decode_step_shared): the
+                            # prefix int8 KV streams once per token for the
+                            # whole batch; int8-cache serving only
+                            shared_prefix=g.quantize_cache, **common)
                     texts = decode_texts(self.tokenizer, tokens, lengths,
                                          self.tokenizer.eos_token_id)
                     for i, text in zip(chunk, texts[:kq]):

@@ -269,6 +269,101 @@ def generate_tokens_spec(
 
 
 @functools.partial(jax.jit, static_argnames=_SPEC_STATICS)
+def generate_tokens_spec_from_prefix(
+    params,
+    cfg: VLMConfig,
+    post_ids: jnp.ndarray,      # [B, Sq] left-padded question chunk
+    post_mask: jnp.ndarray,     # [B, Sq]
+    prefix_k: jnp.ndarray,      # [L, 1, Sp, Hkv, Dh] bf16 (build_prefix_kv)
+    prefix_v: jnp.ndarray,
+    prefix_mask: jnp.ndarray,   # [1, Sp]
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    draft_len: int = 4,
+    temperature: float = 0.0,
+    top_p: Optional[float] = None,
+    do_sample: bool = False,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Speculative generation over the shared-prefix CASCADE cache: the two
+    decode DMA levers compound — each verify pass streams the cache once
+    for draft_len+1 candidate tokens (this module), and the per-video
+    prefix segment streams once for the whole BATCH instead of per row
+    (llm.decode_step_shared's layout, here via llm.verify_step_shared).
+    Greedy is token-exact vs lockstep; drafting context is the question
+    chunk + generated tokens (the prefix's video tokens are not draftable
+    text). Same contract as generate_tokens_spec otherwise."""
+    B, Sq = post_ids.shape
+    Sp = prefix_k.shape[2]
+    S_v = draft_len + 1
+    max_len = -(-(Sp + Sq + max_new_tokens + S_v) // 128) * 128
+    tail_len = -(-(Sq + max_new_tokens + S_v) // 128) * 128
+    lp = params["llm"]
+    chunk_embeds = llm_mod.embed_lookup(lp["embed"], post_ids,
+                                        llm_mod.embed_dtype(lp["embed"]))
+    logits, cache, tail_valid, pos0 = llm_mod.prefill_continue(
+        lp, cfg.llm, chunk_embeds, post_mask, prefix_k, prefix_v,
+        prefix_mask, max_len, quantize_cache=True, tail_len=tail_len)
+
+    from .generate import sample_logits
+
+    rng, sub = jax.random.split(rng)
+    tok0 = sample_logits(logits, sub, temperature, top_p, do_sample)
+    C = Sq + max_new_tokens
+    buf0 = jnp.concatenate(
+        [post_ids.astype(jnp.int32),
+         jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)], axis=1)
+    buf0 = buf0.at[:, Sq].set(tok0)
+    done0 = tok0 == eos_token_id
+    state = SpecState(cache, tail_valid, pos0, buf0,
+                      jnp.ones((B,), jnp.int32), done0, rng)
+
+    iidx = jnp.arange(S_v)[None, :]
+    rows = jnp.arange(B)[:, None]
+
+    def cond(st: SpecState):
+        return jnp.any(~st.done & (st.step < max_new_tokens))
+
+    def body(st: SpecState):
+        alive = ~st.done & (st.step < max_new_tokens)
+        ptr = Sq + st.step
+        drafts = ngram_draft(st.buf, ptr, draft_len)
+        cur = jnp.take_along_axis(st.buf, (ptr - 1)[:, None], 1)
+        inputs = jnp.concatenate([cur, drafts], axis=1)
+        token_embeds = llm_mod.embed_lookup(params["llm"]["embed"], inputs)
+        positions = st.pos_next[:, None] + iidx
+        logits, cache = llm_mod.verify_step_shared(
+            params["llm"], cfg.llm, token_embeds, st.cache, st.valid_mask,
+            positions, rope_hint=max_len)
+        rng, sub = jax.random.split(st.rng)
+        a, emitted = spec_accept_tokens(logits, drafts, sub, temperature,
+                                        top_p, do_sample)
+
+        tail, valid = llm_mod.commit_verify(
+            cache.tail, st.valid_mask, jnp.where(alive, a, 0), S_v)
+        cache = cache._replace(tail=tail)
+
+        is_eos = (emitted == eos_token_id) & (iidx < a[:, None])
+        eos_pos = jnp.min(jnp.where(is_eos, iidx, S_v), axis=-1)
+        e = jnp.minimum(jnp.minimum(a, eos_pos + 1),
+                        max_new_tokens - st.step)
+        e = jnp.where(alive, e, 0)
+
+        cols = jnp.where(iidx < e[:, None], Sq + st.step[:, None] + iidx, C)
+        buf = st.buf.at[rows, cols].set(emitted, mode="drop")
+        done = st.done | jnp.any(is_eos & (iidx < e[:, None]), axis=-1)
+        return SpecState(cache, valid, st.pos_next + e, buf,
+                         st.step + e, done, rng)
+
+    final = jax.lax.while_loop(cond, body, state)
+    out = final.buf[:, Sq:]
+    lengths = jnp.sum(out != pad_token_id, axis=-1)
+    return out, lengths
+
+
+@functools.partial(jax.jit, static_argnames=_SPEC_STATICS)
 def generate_tokens_spec_from_features(
     params,
     cfg: VLMConfig,

@@ -153,6 +153,38 @@ def test_run_stream_prefix_matches_cached(micro_model, two_videos, mode):
     assert durs[0] == durs[2] == durs[4] and durs[1] == durs[3]
 
 
+def test_spec_from_prefix_matches_greedy_lockstep(micro_model):
+    """Speculative generation over the cascade cache (verify_step_shared +
+    tail commits + question-chunk drafting) is token-exact vs the lockstep
+    one-shot program under greedy — the standard speculative contract,
+    compounded with the prefix/cascade layout."""
+    from grounded_video_llm_tpu.serve.speculative import (
+        generate_tokens_spec_from_prefix)
+
+    cfg, params = micro_model
+    ids, mask, pre_ids, post_ids, post_mask, feats = _inputs(
+        cfg, 3, q_lens=(4, 4, 4), seed=2)
+    kw = dict(max_new_tokens=MAX_NEW, temperature=0.0, do_sample=False,
+              eos_token_id=EOS, pad_token_id=PAD)
+    ref, ref_len = generate_tokens_from_features(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(np.broadcast_to(feats, (3, *feats.shape[1:]))),
+        jax.random.key(0), quantize_cache=True, **kw)
+
+    Sp = pre_ids.shape[1] + cfg.num_video_tokens
+    Sq = post_ids.shape[1]
+    S_v = 3
+    hint = -(-(Sp + Sq + MAX_NEW + S_v) // 128) * 128
+    k, v, pmask = build_prefix_kv(
+        params, cfg, jnp.asarray(pre_ids),
+        jnp.ones_like(jnp.asarray(pre_ids)), jnp.asarray(feats), hint)
+    got, got_len = generate_tokens_spec_from_prefix(
+        params, cfg, jnp.asarray(post_ids), jnp.asarray(post_mask),
+        k, v, pmask, jax.random.key(0), draft_len=S_v - 1, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(got_len))
+
+
 def test_run_stream_prefix_shared_route(micro_model, two_videos):
     """quantize_cache=True routes run_stream_prefix through the cascade
     decode (decode_step_shared); greedy texts must match the full-prefill
