@@ -216,6 +216,30 @@ def main():
     device_elapsed = (time.time() - t0) / MEASURE_ITERS
     device_vps = B / device_elapsed
 
+    # ---- BENCH_SPEC: same-process plain-decode A/B leg ----
+    # the spec-vs-plain overhead ratio must NOT be a cross-run comparison
+    # (box drift ±5-8%, CLAUDE.md); time the non-spec decode in this process
+    spec_plain_elapsed = None
+    if SPEC_DRAFT:
+        def run_plain(seed):
+            toks, _ = generate_tokens(
+                params, cfg, jnp.asarray(ids), jnp.asarray(attn),
+                zero_spatial, zero_temporal, jax.random.key(seed),
+                max_new_tokens=DECODE_TOKENS, temperature=0.2, do_sample=True,
+                eos_token_id=-1, pad_token_id=0,
+                quantize_cache=QUANTIZE_CACHE)
+            return np.asarray(toks)
+
+        run_plain(0)  # compile
+        t0 = time.time()
+        for i in range(MEASURE_ITERS):
+            run_plain(100 + i)
+        spec_plain_elapsed = (time.time() - t0) / MEASURE_ITERS
+        print(f"plain (non-spec) same-process leg: "
+              f"{spec_plain_elapsed*1000:.1f} ms/batch vs spec "
+              f"{device_elapsed*1000:.1f} ms/batch -> per-pass overhead "
+              f"{device_elapsed/spec_plain_elapsed:.2f}x", file=sys.stderr)
+
     # ---- phase split: encode+prefill alone (1-token generate) ----
     def run_short(seed):
         toks, _ = generate_tokens(
@@ -359,6 +383,15 @@ def main():
         record["mode"] = "bf16"  # unquantized anchor (BENCH_QUANT=0)
     if MODEL != "phi3.5":
         record["model"] = MODEL
+    if SPEC_DRAFT:
+        # mark spec runs so the JSON can't be mistaken for a headline run
+        record["mode"] = "speculative"
+        record["draft_len"] = SPEC_DRAFT
+        record["ms_per_committed_token"] = round(
+            decode_s * 1000 / (DECODE_TOKENS - 1), 2)
+        if spec_plain_elapsed is not None:
+            record["spec_overhead_vs_plain_same_process"] = round(
+                device_elapsed / spec_plain_elapsed, 3)
     print(json.dumps(record))
 
 

@@ -32,12 +32,15 @@ def get_frame_indices(
         ranges = [(intervals[i], intervals[i + 1] - 1) for i in range(acc_samples)]
         if sample == "rand":
             rng = rng or np.random.default_rng()
-            try:
-                frame_indices = [int(rng.integers(lo, hi)) if hi > lo else int(lo)
-                                 for lo, hi in ranges]
-            except Exception:
+            # Reference (mm_utils/video_utils.py:22-28) draws choice(range(lo, hi))
+            # per interval; an EMPTY range (hi <= lo, short videos) raises and the
+            # except-branch replaces the whole draw with a sorted permutation
+            # sample over the full video. Mirror that branch structure exactly.
+            if any(hi <= lo for lo, hi in ranges):
                 frame_indices = sorted(
                     int(i) for i in rng.permutation(vlen)[:acc_samples])
+            else:
+                frame_indices = [int(rng.integers(lo, hi)) for lo, hi in ranges]
         elif fix_start is not None:
             frame_indices = [int(lo) + fix_start for lo, _ in ranges]
         else:  # middle

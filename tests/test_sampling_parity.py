@@ -56,6 +56,46 @@ def test_fps_sampling_parity(mode, fps, cap):
     assert got == [int(x) for x in want]
 
 
+@pytest.mark.parametrize("num_frames,vlen", [(8, 5), (8, 8), (8, 12),
+                                             (96, 96), (96, 100), (96, 150),
+                                             (96, 191), (96, 192)])
+def test_rand_short_video_fallback_branch_parity(num_frames, vlen):
+    """Reference mm_utils/video_utils.py:22-28: choice(range(lo, hi)) raises on
+    an empty interval and the except-branch replaces the ENTIRE draw with a
+    sorted whole-video permutation sample. Verify both implementations take the
+    same branch for short videos (vlen < ~2*num_frames) and that the fallback
+    output is a sorted distinct subset padded with the last frame."""
+    ref = _oracle()
+    import random
+
+    acc = min(num_frames, vlen)
+    intervals = np.linspace(0, vlen, acc + 1).astype(int)
+    ranges = [(intervals[i], intervals[i + 1] - 1) for i in range(acc)]
+    fallback = any(hi <= lo for lo, hi in ranges)
+
+    random.seed(0)
+    want = [int(x) for x in ref(num_frames, vlen, sample="rand")]
+    got = get_frame_indices(num_frames, vlen, sample="rand",
+                            rng=np.random.default_rng(0))
+    assert len(got) == num_frames and len(want) == num_frames
+
+    def is_perm_sample(idx):
+        body = idx[:acc]
+        return (body == sorted(body) and len(set(body)) == acc
+                and all(0 <= i < vlen for i in body)
+                and idx[acc:] == [body[-1]] * (num_frames - acc))
+
+    if fallback:
+        # both must have hit the permutation branch: sorted, distinct, padded
+        assert is_perm_sample(want), want
+        assert is_perm_sample(got), got
+    else:
+        for k in range(acc):
+            # both draw from choice(range(lo, hi)) ≡ integers(lo, hi): [lo, hi)
+            assert ranges[k][0] <= want[k] < ranges[k][1]
+            assert ranges[k][0] <= got[k] < ranges[k][1]
+
+
 def test_rand_sampling_same_interval_structure():
     """'rand' draws differ (different RNG) but must land in the same
     per-interval ranges the reference derives."""
