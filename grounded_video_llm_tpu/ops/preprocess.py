@@ -6,8 +6,10 @@ parameterizations (mm_utils/utils.py:147-151):
   spatial  stream: 336px, OPENAI (CLIP) mean/std
 
 Two implementations:
-  * host   — cv2/numpy, used by data-loader workers (decode already lives on the
-             host; keeping preprocess there overlaps with TPU compute).
+  * host   — PIL-bit-exact fixed-point bicubic (ops/pil_resize.py: native C++
+             when cpp/ is built, numpy fallback), used by data-loader workers
+             (decode already lives on the host; keeping preprocess there
+             overlaps with TPU compute).
   * xla    — jit-able jax version for the serving path, where frames go to the
              device raw-uint8 (small transfer) and the whole resize/normalize
              fuses into the encoder's first conv input pipeline.
@@ -32,10 +34,12 @@ INTERNVIDEO_STD = (0.229, 0.224, 0.225)
 
 
 def _resize_shape(h: int, w: int, size: int) -> Tuple[int, int]:
-    """Shorter edge → size, aspect preserved (PIL Resize(int) semantics)."""
-    if h <= w:
-        return size, max(size, int(round(w * size / h)))
-    return max(size, int(round(h * size / w))), size
+    """Shorter edge → size, aspect preserved. torchvision 0.16.2 (the
+    reference's pinned version) TRUNCATES the long edge:
+    `int(size * long / short)` (transforms/functional.py int-size path)."""
+    from .pil_resize import resized_shape_torchvision
+
+    return resized_shape_torchvision(h, w, size)
 
 
 def _crop_box(h: int, w: int, size: int) -> Tuple[int, int]:
@@ -57,19 +61,14 @@ def preprocess_frames_host(
     std: Tuple[float, float, float],
     dtype=np.float32,
 ) -> np.ndarray:
-    import cv2
-
-    T, h, w, _ = frames.shape
-    rh, rw = _resize_shape(h, w, size)
-    top, left = _crop_box(rh, rw, size)
+    """PIL-bit-exact pixel path (ops/pil_resize.py): uint8 frames resized and
+    cropped exactly as the reference's ToPILImage → Resize(BICUBIC) →
+    CenterCrop → ToTensor → Normalize (mm_utils/utils.py:153-183)."""
+    u8 = resize_frames_host_u8(frames, size)
     mean_arr = np.asarray(mean, dtype=np.float32)
     std_arr = np.asarray(std, dtype=np.float32)
-    out = np.empty((T, size, size, 3), dtype=dtype)
-    for t in range(T):
-        r = cv2.resize(frames[t], (rw, rh), interpolation=cv2.INTER_CUBIC)
-        crop = r[top:top + size, left:left + size].astype(np.float32) / 255.0
-        out[t] = (crop - mean_arr) / std_arr
-    return out
+    out = (u8.astype(np.float32) / 255.0 - mean_arr) / std_arr
+    return out.astype(dtype, copy=False)
 
 
 # ---------------------------------------------------------------------------
@@ -127,17 +126,19 @@ def resize_frames_host_u8(frames: np.ndarray, size: int) -> np.ndarray:
     models/vlm.py:_maybe_normalize). Matches preprocess_frames_host's
     geometry exactly; only the float conversion moves to the TPU, where the
     cast+normalize fuses into the encoder's first conv. ~2x less host CPU per
-    video and 4x smaller host→device transfer (uint8 vs fp32)."""
-    import cv2
+    video and 4x smaller host→device transfer (uint8 vs fp32).
+
+    The resize is PIL-bit-exact (ops/pil_resize.py: antialiased fixed-point
+    bicubic, native C++ when cpp/ is built, numpy fallback otherwise) — the
+    frozen encoders were trained on PIL pixels, so cv2.INTER_CUBIC
+    (no antialias) was an uncontrolled input perturbation."""
+    from .pil_resize import resize_bicubic_batch_u8
 
     T, h, w, _ = frames.shape
     rh, rw = _resize_shape(h, w, size)
     top, left = _crop_box(rh, rw, size)
-    out = np.empty((T, size, size, 3), dtype=np.uint8)
-    for t in range(T):
-        r = cv2.resize(frames[t], (rw, rh), interpolation=cv2.INTER_CUBIC)
-        out[t] = r[top:top + size, left:left + size]
-    return out
+    r = resize_bicubic_batch_u8(np.ascontiguousarray(frames), rh, rw)
+    return np.ascontiguousarray(r[:, top:top + size, left:left + size])
 
 
 def dual_stream_resize_host(
