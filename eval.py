@@ -60,6 +60,17 @@ def parse_args():
     p.add_argument("--tokenizer_path", default="")
     p.add_argument("--quantize", default="",
                    choices=["", "int8", "int8_full"])
+    p.add_argument("--quantize_ab", action="store_true",
+                   help="instead of the benchmark, run the bf16-vs-quantized "
+                        "accuracy A/B (logit KL + greedy token agreement) on "
+                        "the first --ab_items eval items and enforce the "
+                        "committed thresholds (serve/quant_ab.py); exits 1 "
+                        "on failure")
+    p.add_argument("--ab_items", type=int, default=4)
+    p.add_argument("--ab_max_new_tokens", type=int, default=32)
+    p.add_argument("--ab_max_kl", type=float, default=None)
+    p.add_argument("--ab_min_top1", type=float, default=None)
+    p.add_argument("--ab_min_greedy", type=float, default=None)
     p.add_argument("--max_items", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--max_new_tokens", type=int, default=128)
@@ -108,6 +119,61 @@ def weights_present(args) -> bool:
     return all(path and ok(path) for path, ok in checks)
 
 
+def run_quantize_ab(args, cfg) -> int:
+    """bf16-vs-quantized accuracy A/B on real eval items (the pre-wired int8
+    accuracy bar, serve/quant_ab.py). Sequential memory protocol: the bf16
+    tree is built and its leg fetched to host FIRST, then freed, then the
+    quantized tree is built — required where both trees don't co-fit HBM."""
+    import gc
+
+    from grounded_video_llm_tpu.cli.model_loading import (build_params,
+                                                          build_tokenizer)
+    from grounded_video_llm_tpu.serve import quant_ab
+    from grounded_video_llm_tpu.serve.engine import InferenceEngine
+
+    quant = args.quantize or "int8_full"
+    tokenizer = build_tokenizer(cfg, args.tokenizer_path or None, expand=True)
+    kw = dict(weight_root=args.pretrained_vision_proj_llm_path or None,
+              video_encoder_path=args.pretrained_video_path or None,
+              stage_ckpt=args.ckpt_path or None)
+    holder = {"p": build_params(cfg, **kw)}
+    engine = InferenceEngine(holder["p"], cfg, tokenizer)
+
+    annos = load_annotations(args.anno_path, args.anno_format)
+    items = annos[:args.ab_items]
+    mode = {"grounding": "grounding", "gqa": "grounding",
+            "mc": "qa"}[args.benchmark]
+    ids, mask, spatial, temporal = quant_ab.prepare_ab_inputs(
+        engine, items, args.video_root, mode)
+
+    def free_bf16():
+        engine.params = None
+        holder.clear()
+        gc.collect()
+
+    thr = {}
+    if args.ab_max_kl is not None:
+        thr["max_kl"] = args.ab_max_kl
+    if args.ab_min_top1 is not None:
+        thr["min_top1"] = args.ab_min_top1
+    if args.ab_min_greedy is not None:
+        thr["min_greedy"] = args.ab_min_greedy
+    report = quant_ab.run_quant_ab(
+        holder["p"], lambda: build_params(cfg, quantize=quant, **kw), cfg,
+        ids, mask, spatial, temporal,
+        max_new_tokens=args.ab_max_new_tokens,
+        eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id,
+        free_bf16=free_bf16, **thr)
+    result = {"mode": "quantize_ab", "llm": args.llm, "quantize": quant,
+              "n_items": len(items), "report": report}
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+    return 0 if report["pass"] else 1
+
+
 def main():
     args = parse_args()
     if not weights_present(args) and not args.allow_random_weights:
@@ -137,6 +203,8 @@ def main():
     else:
         cfg = vlm_config(args.llm, stage="inference",
                          num_frames=args.num_frames, num_segs=args.num_segs)
+    if args.quantize_ab:
+        sys.exit(run_quantize_ab(args, cfg))
     params = build_params(
         cfg, weight_root=args.pretrained_vision_proj_llm_path or None,
         video_encoder_path=args.pretrained_video_path or None,
