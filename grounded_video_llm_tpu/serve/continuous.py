@@ -148,14 +148,15 @@ def _prefill_features_body(params, cfg, input_ids, attn_mask,
     return logits, cache, valid, pos
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _insert_row(state: PoolState, batch_cache: llm_mod.QuantKVCache,
-                batch_valid, batch_pos, batch_ids, first_token, slot, row,
-                pad_token):
+def _insert_row_impl(state: PoolState, batch_cache: llm_mod.QuantKVCache,
+                     batch_valid, batch_pos, batch_ids, first_token, slot,
+                     row, pad_token):
     """Copy row `row` of a batched prefill's cache/bookkeeping into pool slot
     `slot` (slice + insert fused in one program — no intermediate row-cache
     materialization). batch_ids [k, S]: the prompt token ids, seeding the
-    slot's drafting context (buf/ptr) for speculative chunks."""
+    slot's drafting context (buf/ptr) for speculative chunks. Traceable body
+    shared by the standalone _insert_row program (admit_batch>1) and the
+    fused single-dispatch admission programs (_admit_one*)."""
     def put(pool_arr, batch_arr):
         row_arr = jax.lax.dynamic_slice_in_dim(batch_arr, row, 1, axis=1)
         return jax.lax.dynamic_update_slice(
@@ -193,16 +194,91 @@ def _insert_row(state: PoolState, batch_cache: llm_mod.QuantKVCache,
         state.ptr.at[slot].set(S + 1))
 
 
+_insert_row = functools.partial(jax.jit, donate_argnums=0)(_insert_row_impl)
+
+
+_SAMPLE_STATICS = ("cfg", "temperature", "top_p", "do_sample")
+
+
+@functools.partial(jax.jit, static_argnames=_SAMPLE_STATICS, donate_argnums=1)
+def _admit_one(params, state: PoolState, cfg: VLMConfig, input_ids,
+               attn_mask, spatial, temporal, slot, rid, pad_token, *,
+               temperature: float, top_p, do_sample: bool):
+    """FUSED single-request admission: encode + prefill + first-token sample
+    + slot insert in ONE dispatched program → (state, first_token).
+
+    Admission was measured at 1.12 s/request against a 0.88 s/request pure
+    device cost (BENCH_CONTINUOUS_r03.txt: admit 20.2s for 18 requests): the
+    ~0.24s gap was per-admission dispatch overhead — jnp.stack of ids/mask/
+    pixels, prefill, sample_logits, fold_in, _insert_row each cost a ~25-30ms
+    tunnel dispatch (CLAUDE.md). One program leaves one dispatch plus the
+    scalar first-token fetch."""
+    max_len = state.valid.shape[1]
+    logits, bcache, bvalid, bpos = _prefill_batch(
+        params, cfg, input_ids, attn_mask, spatial, temporal, max_len)
+    rng, sub = jax.random.split(state.rng)
+    first = sample_logits(logits, jax.random.fold_in(sub, rid),
+                          temperature, top_p, do_sample)[0]
+    state = _insert_row_impl(state._replace(rng=rng), bcache, bvalid, bpos,
+                             input_ids.astype(jnp.int32), first, slot,
+                             jnp.asarray(0, jnp.int32), pad_token)
+    return state, first
+
+
+@functools.partial(jax.jit, static_argnames=_SAMPLE_STATICS, donate_argnums=1)
+def _admit_one_feats(params, state: PoolState, cfg: VLMConfig, input_ids,
+                     attn_mask, features, slot, rid, pad_token, *,
+                     temperature: float, top_p, do_sample: bool):
+    """_admit_one from precomputed video features (Request.features)."""
+    max_len = state.valid.shape[1]
+    logits, bcache, bvalid, bpos = _prefill_batch_from_features(
+        params, cfg, input_ids, attn_mask, features, max_len)
+    rng, sub = jax.random.split(state.rng)
+    first = sample_logits(logits, jax.random.fold_in(sub, rid),
+                          temperature, top_p, do_sample)[0]
+    state = _insert_row_impl(state._replace(rng=rng), bcache, bvalid, bpos,
+                             input_ids.astype(jnp.int32), first, slot,
+                             jnp.asarray(0, jnp.int32), pad_token)
+    return state, first
+
+
+@functools.partial(jax.jit, static_argnames=_SAMPLE_STATICS, donate_argnums=1)
+def _admit_one_prefix(params, state: PoolState, cfg: VLMConfig, input_ids,
+                      attn_mask, prefix_k, prefix_v, prefix_mask, slot, rid,
+                      pad_token, *, temperature: float, top_p,
+                      do_sample: bool):
+    """_admit_one for a prefix-backed request (Request.prefix)."""
+    max_len = state.valid.shape[1]
+    logits, bcache, bvalid, bpos = _prefill_batch_from_prefix(
+        params, cfg, input_ids, attn_mask, prefix_k, prefix_v, prefix_mask,
+        max_len)
+    rng, sub = jax.random.split(state.rng)
+    first = sample_logits(logits, jax.random.fold_in(sub, rid),
+                          temperature, top_p, do_sample)[0]
+    state = _insert_row_impl(state._replace(rng=rng), bcache, bvalid, bpos,
+                             input_ids.astype(jnp.int32), first, slot,
+                             jnp.asarray(0, jnp.int32), pad_token)
+    return state, first
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "chunk", "temperature", "top_p",
                               "do_sample", "eos_token_id", "pad_token_id"),
     donate_argnums=1)
-def _decode_chunk(params, state: PoolState, cfg: VLMConfig, *, chunk: int,
-                  temperature: float, top_p, do_sample: bool,
+def _decode_chunk(params, state: PoolState, cfg: VLMConfig, deactivate,
+                  *, chunk: int, temperature: float, top_p, do_sample: bool,
                   eos_token_id: int, pad_token_id: int):
     """Run `chunk` pool-wide decode steps; returns (state, tokens [B, chunk])
-    with pad_token_id on inactive rows."""
+    with pad_token_id on inactive rows.
+
+    deactivate [B] bool: slots the HOST retired since the last chunk (budget
+    exhaustion / freed slots) — applied at entry. Retirement used to be a
+    per-slot .at[].set dispatch (~27ms each on the tunnel); riding it on the
+    next chunk's arguments makes it free. A retired-but-still-active row
+    decodes garbage into its own slot for at most one chunk, which the
+    max_len chunk margin covers and the next insert overwrites."""
     B = state.cur_token.shape[0]
+    state = state._replace(active=state.active & ~deactivate)
 
     def body(i, carry):
         st, out = carry
@@ -237,9 +313,9 @@ def _decode_chunk(params, state: PoolState, cfg: VLMConfig, *, chunk: int,
                               "top_p", "do_sample", "eos_token_id",
                               "pad_token_id"),
     donate_argnums=1)
-def _spec_chunk(params, state: PoolState, cfg: VLMConfig, *, chunk: int,
-                draft_len: int, temperature: float, top_p, do_sample: bool,
-                eos_token_id: int, pad_token_id: int):
+def _spec_chunk(params, state: PoolState, cfg: VLMConfig, deactivate,
+                *, chunk: int, draft_len: int, temperature: float, top_p,
+                do_sample: bool, eos_token_id: int, pad_token_id: int):
     """`chunk` speculative verify passes over the pool → (state,
     tokens [B, chunk*(draft_len+1)] compacted per row, counts [B]).
 
@@ -251,6 +327,7 @@ def _spec_chunk(params, state: PoolState, cfg: VLMConfig, *, chunk: int,
     from .speculative import ngram_draft, spec_accept_tokens
 
     B = state.cur_token.shape[0]
+    state = state._replace(active=state.active & ~deactivate)
     S_v = draft_len + 1
     out_w = chunk * S_v
     iidx = jnp.arange(S_v)[None, :]
@@ -391,10 +468,18 @@ class ContinuousServer:
         into the admission prefill — host→device pixel transfer, not encode,
         dominated batch-1 admission cost on tunneled backends (~18.5MB/video
         uint8). The scheduler calls this at submit time; serve() stages its
-        whole request list upfront (~19MB/request of HBM)."""
-        staged = req._replace(
-            input_ids=jax.device_put(jnp.asarray(req.input_ids)),
-            attn_mask=jax.device_put(jnp.asarray(req.attn_mask)))
+        whole request list upfront (~19MB/request of HBM).
+
+        Arrays stage with a leading batch dim [1, ...] (a free host-side
+        reshape) so the fused single-request admission consumes them with
+        ZERO reshape/stack dispatches; admit_batch>1 concatenates them."""
+        def stage(x, base_ndim):
+            if isinstance(x, jax.Array):  # already staged (idempotent)
+                return x if x.ndim == base_ndim + 1 else x[None]
+            return jax.device_put(np.asarray(x)[None])
+
+        staged = req._replace(input_ids=stage(req.input_ids, 1),
+                              attn_mask=stage(req.attn_mask, 1))
         if req.prefix is not None:
             # prefix-backed request: the prefix KV is already a device
             # array, shared across same-video requests — nothing to stage
@@ -402,25 +487,54 @@ class ContinuousServer:
         if req.features is not None:
             # feature-backed request: stage the features (~20MB bf16 at
             # flagship), skip the pixel transfers entirely
-            return staged._replace(
-                features=jax.device_put(jnp.asarray(req.features)))
+            return staged._replace(features=stage(req.features, 2))
         return staged._replace(
-            spatial_pixels=jax.device_put(jnp.asarray(req.spatial_pixels)),
-            temporal_pixels=jax.device_put(jnp.asarray(req.temporal_pixels)))
+            spatial_pixels=stage(req.spatial_pixels, 4),
+            temporal_pixels=stage(req.temporal_pixels, 4))
 
     # -- incremental engine (shared by serve() and ContinuousScheduler) ------
 
     def _busy(self) -> bool:
         return any(r is not None for r in self._slot_req)
 
+    def _check_prefix_fit(self, prefix, Sq: int) -> None:
+        Sp = prefix[0].shape[2]
+        if Sp + Sq + self.max_new_tokens \
+                + self.chunk * self._toks_per_iter > self.max_len:
+            raise ValueError(
+                f"prefix ({Sp}) + question bucket ({Sq}) + budget "
+                f"overflow the pool cache (max_len={self.max_len}); "
+                "build the server with prefix_len set")
+
+    def _book_first_token(self, rid, req, slot, first_i, emitted,
+                          results) -> bool:
+        """Host bookkeeping after an admission's first token; returns True
+        if the request already finished (EOS / budget-1)."""
+        self._slot_req[slot] = rid
+        self._slot_cb[slot] = req.on_token
+        budget = req.max_new_tokens or self.max_new_tokens
+        self._slot_budget[slot] = min(budget, self.max_new_tokens) - 1
+        if first_i != self.eos_token_id and req.on_token is not None:
+            req.on_token(first_i)
+        emitted[rid].append(first_i)
+        if first_i == self.eos_token_id or self._slot_budget[slot] == 0:
+            results[rid] = self._finish(rid, emitted)
+            self._slot_req[slot] = None
+            self._slot_cb[slot] = None
+            return True
+        return False
+
     def _admit(self, pending, emitted, results) -> None:
-        """Fill free slots from `pending` [(rid, Request), ...]: prefill up
-        to `admit_batch` requests in ONE batched call (power-of-2 buckets,
-        padded by repeating a request) and insert each row into a free
-        slot. Requests finishing on their first token resolve
-        immediately. Inputs must be pre-staged (stage_request) — async
-        pixel transfers, not prefill batching, is what cut the measured
-        admission stall (1.5 → 0.86 s/req)."""
+        """Fill free slots from `pending` [(rid, Request), ...]. The default
+        (admit_batch=1) path is the FUSED single-dispatch program
+        (_admit_one*): encode+prefill+sample+insert in one dispatch plus one
+        scalar fetch — per-admission overhead dropped from ~0.24s (8 tunnel
+        dispatches) to one dispatch. admit_batch>1 keeps the batched
+        multi-dispatch path (power-of-2 buckets, padded by repeating a
+        request). Inputs must be pre-staged (stage_request)."""
+        gk = self.gen_kwargs
+        sample_kw = dict(temperature=gk["temperature"], top_p=gk["top_p"],
+                         do_sample=gk["do_sample"])
         while pending:
             free = [s for s in range(self.pool_size)
                     if self._slot_req[s] is None]
@@ -445,34 +559,57 @@ class ContinuousServer:
                     break
             del pending[: len(take)]
             k = len(take)
+
+            if k == 1:
+                rid, req = take[0]
+                slot = free[0]
+                args = (jnp.asarray(slot, jnp.int32),
+                        jnp.asarray(rid, jnp.int32),
+                        jnp.asarray(self.pad_token_id, jnp.int32))
+                if want[0] == "prefix":
+                    pk, pv, pm = req.prefix
+                    self._check_prefix_fit(req.prefix, req.input_ids.shape[1])
+                    self.state, first = _admit_one_prefix(
+                        self.params, self.state, self.cfg, req.input_ids,
+                        req.attn_mask, pk, pv, pm, *args, **sample_kw)
+                elif want[0] == "feats":
+                    self.state, first = _admit_one_feats(
+                        self.params, self.state, self.cfg, req.input_ids,
+                        req.attn_mask, req.features, *args, **sample_kw)
+                else:
+                    self.state, first = _admit_one(
+                        self.params, self.state, self.cfg, req.input_ids,
+                        req.attn_mask, req.spatial_pixels,
+                        req.temporal_pixels, *args, **sample_kw)
+                self._book_first_token(rid, req, slot, int(first), emitted,
+                                       results)
+                # EOS-on-first / budget-1: the fused program already inserted
+                # the row; _slot_req[slot] is None again, so the next chunk's
+                # deactivate vector retires it (no extra dispatch)
+                continue
+
             bucket = 1
             while bucket < k:
                 bucket *= 2
             idx = [take[i % k][1] for i in range(bucket)]  # pad by repeat
-            bids = jnp.stack([jnp.asarray(r.input_ids) for r in idx])
-            battn = jnp.stack([jnp.asarray(r.attn_mask) for r in idx])
+            bids = jnp.concatenate([r.input_ids for r in idx])
+            battn = jnp.concatenate([r.attn_mask for r in idx])
             if want[0] == "prefix":
                 pk, pv, pm = take[0][1].prefix
-                Sp, Sq = pk.shape[2], bids.shape[1]
-                if Sp + Sq + self.max_new_tokens \
-                        + self.chunk * self._toks_per_iter > self.max_len:
-                    raise ValueError(
-                        f"prefix ({Sp}) + question bucket ({Sq}) + budget "
-                        f"overflow the pool cache (max_len={self.max_len}); "
-                        "build the server with prefix_len set")
+                self._check_prefix_fit(take[0][1].prefix, bids.shape[1])
                 logits, bcache, bvalid, bpos = _prefill_batch_from_prefix(
                     self.params, self.cfg, bids, battn, pk, pv, pm,
                     self.max_len)
             elif want[0] == "feats":
                 logits, bcache, bvalid, bpos = _prefill_batch_from_features(
                     self.params, self.cfg, bids, battn,
-                    jnp.stack([jnp.asarray(r.features) for r in idx]),
+                    jnp.concatenate([r.features for r in idx]),
                     self.max_len)
             else:
                 logits, bcache, bvalid, bpos = _prefill_batch(
                     self.params, self.cfg, bids, battn,
-                    jnp.stack([jnp.asarray(r.spatial_pixels) for r in idx]),
-                    jnp.stack([jnp.asarray(r.temporal_pixels) for r in idx]),
+                    jnp.concatenate([r.spatial_pixels for r in idx]),
+                    jnp.concatenate([r.temporal_pixels for r in idx]),
                     self.max_len)
             self.state = self.state._replace(
                 rng=jax.random.split(self.state.rng)[0])
@@ -480,23 +617,10 @@ class ContinuousServer:
                 slot = free[i]
                 first = sample_logits(
                     logits[i:i + 1], jax.random.fold_in(self.state.rng, rid),
-                    self.gen_kwargs["temperature"],
-                    self.gen_kwargs["top_p"],
-                    self.gen_kwargs["do_sample"])
+                    gk["temperature"], gk["top_p"], gk["do_sample"])
                 first_i = int(first[0])
-                self._slot_req[slot] = rid
-                self._slot_cb[slot] = req.on_token
-                budget = req.max_new_tokens or self.max_new_tokens
-                self._slot_budget[slot] = min(budget,
-                                              self.max_new_tokens) - 1
-                if first_i != self.eos_token_id and req.on_token is not None:
-                    req.on_token(first_i)
-                emitted[rid].append(first_i)
-                if (first_i == self.eos_token_id
-                        or self._slot_budget[slot] == 0):
-                    results[rid] = self._finish(rid, emitted)
-                    self._slot_req[slot] = None
-                    self._slot_cb[slot] = None
+                if self._book_first_token(rid, req, slot, first_i, emitted,
+                                          results):
                     continue
                 self.state = _insert_row(
                     self.state, bcache, bvalid, bpos, bids,
@@ -506,15 +630,22 @@ class ContinuousServer:
                     jnp.asarray(self.pad_token_id, jnp.int32))
 
     def _run_chunk(self, emitted, results) -> None:
-        """One jitted decode chunk over the pool + host-side retirement."""
+        """One jitted decode chunk over the pool + host-side retirement.
+
+        Ownerless slots ride the chunk's `deactivate` argument: retirement
+        needs no standalone device dispatch, the next chunk (or the fused
+        admission insert reusing the slot) squares the device's active mask
+        with the host's slot table."""
+        deact = jnp.asarray(
+            np.asarray([r is None for r in self._slot_req], bool))
         if self.spec_draft_len:
             self.state, toks, counts = _spec_chunk(
-                self.params, self.state, self.cfg, chunk=self.chunk,
+                self.params, self.state, self.cfg, deact, chunk=self.chunk,
                 draft_len=self.spec_draft_len, **self.gen_kwargs)
             toks, counts = np.asarray(toks), np.asarray(counts)
         else:
             self.state, toks = _decode_chunk(
-                self.params, self.state, self.cfg, chunk=self.chunk,
+                self.params, self.state, self.cfg, deact, chunk=self.chunk,
                 **self.gen_kwargs)
             toks = np.asarray(toks)
             counts = np.full(self.pool_size, toks.shape[1])
@@ -537,10 +668,10 @@ class ContinuousServer:
                         cb(t)
                 if done or self._slot_budget[slot] <= 0:
                     results[rid] = self._finish(rid, emitted)
+                    # no device dispatch: the next chunk's deactivate vector
+                    # (built from _slot_req) retires the row
                     self._slot_req[slot] = None
                     self._slot_cb[slot] = None
-                    self.state = self.state._replace(
-                        active=self.state.active.at[slot].set(False))
                     break
 
     def _finish(self, ridx: int, emitted) -> np.ndarray:
