@@ -69,6 +69,21 @@ def ngram_draft(buf: jnp.ndarray, ptr: jnp.ndarray, draft_len: int
     return jnp.take_along_axis(buf, idx, 1)             # [B, draft_len]
 
 
+def table_draft(table: jnp.ndarray, ptr: jnp.ndarray, draft_len: int
+                ) -> jnp.ndarray:
+    """External-drafter lookup: propose table[b, ptr .. ptr+K-1].
+
+    `table` is aligned with the committed buffer (prompt then generated
+    positions): a retrieval hit, an offline draft-model output, or — in
+    scripts/bench_spec_decode.py's acceptance-curve mode — the model's own
+    greedy stream with controlled corruption. Out-of-range reads clamp to
+    the last column (wrong drafts cost nothing; the verify emits ≥1 real
+    token per pass regardless)."""
+    idx = jnp.minimum(ptr[:, None] + jnp.arange(draft_len)[None, :],
+                      table.shape[1] - 1)
+    return jnp.take_along_axis(table.astype(jnp.int32), idx, 1)
+
+
 def _top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     """HF top-p semantics (serve.generate.sample_logits) on any [..., V]."""
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
@@ -137,6 +152,7 @@ class SpecState(NamedTuple):
     step: jnp.ndarray           # [B] per-row emitted count
     done: jnp.ndarray           # [B]
     rng: jax.Array
+    passes: jnp.ndarray         # [] verify passes run (acceptance stats)
 
 
 def _spec_from_features(
@@ -154,10 +170,17 @@ def _spec_from_features(
     do_sample: bool,
     eos_token_id: int,
     pad_token_id: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    draft_table: Optional[jnp.ndarray] = None,
+    with_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Shared splice → prefill → draft/verify loop body, traced under both
     the fused pixels-in program (generate_tokens_spec) and the from-features
-    program (generate_tokens_spec_from_features, the feature-cache path)."""
+    program (generate_tokens_spec_from_features, the feature-cache path).
+
+    draft_table [B, ≥S+max_new]: buf-aligned external drafts (table_draft)
+    replacing the n-gram lookup. with_stats appends the verify-pass count to
+    the return — accepted-drafts/pass = mean(lengths)/passes − 1 measures
+    drafter quality on a real workload."""
     B, S = input_ids.shape
     S_v = draft_len + 1                                  # tokens per verify
     embeds, _, mask = vlm.splice_multimodal(
@@ -185,7 +208,8 @@ def _spec_from_features(
     buf0 = buf0.at[:, S].set(tok0)
     done0 = tok0 == eos_token_id
     state = SpecState(cache, valid0, pos0, buf0,
-                      jnp.ones((B,), jnp.int32), done0, rng)
+                      jnp.ones((B,), jnp.int32), done0, rng,
+                      jnp.zeros((), jnp.int32))
 
     iidx = jnp.arange(S_v)[None, :]                      # [1, S_v]
     rows = jnp.arange(B)[:, None]
@@ -196,7 +220,10 @@ def _spec_from_features(
     def body(st: SpecState):
         alive = ~st.done & (st.step < max_new_tokens)
         ptr = S + st.step
-        drafts = ngram_draft(st.buf, ptr, draft_len)     # [B, K]
+        if draft_table is not None:
+            drafts = table_draft(draft_table, ptr, draft_len)
+        else:
+            drafts = ngram_draft(st.buf, ptr, draft_len)  # [B, K]
         cur = jnp.take_along_axis(st.buf, (ptr - 1)[:, None], 1)  # [B, 1]
         inputs = jnp.concatenate([cur, drafts], axis=1)  # [B, S_v]
         token_embeds = llm_mod.embed_lookup(params["llm"]["embed"], inputs)
@@ -222,16 +249,19 @@ def _spec_from_features(
         buf = st.buf.at[rows, cols].set(emitted, mode="drop")
         done = st.done | jnp.any(is_eos & (iidx < e[:, None]), axis=-1)
         return SpecState(cache, valid, st.pos_next + e, buf,
-                         st.step + e, done, rng)
+                         st.step + e, done, rng, st.passes + 1)
 
     final = jax.lax.while_loop(cond, body, state)
     out = final.buf[:, S:]
     lengths = jnp.sum(out != pad_token_id, axis=-1)
+    if with_stats:
+        return out, lengths, final.passes
     return out, lengths
 
 
 _SPEC_STATICS = ("cfg", "max_new_tokens", "draft_len", "temperature",
-                 "top_p", "do_sample", "eos_token_id", "pad_token_id")
+                 "top_p", "do_sample", "eos_token_id", "pad_token_id",
+                 "with_stats")
 
 
 @functools.partial(jax.jit, static_argnames=_SPEC_STATICS)
@@ -251,21 +281,26 @@ def generate_tokens_spec(
     do_sample: bool = False,
     eos_token_id: int = 2,
     pad_token_id: int = 0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    draft_table: Optional[jnp.ndarray] = None,
+    with_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Speculative generation → (tokens [B, max_new], lengths [B]).
 
     Same contract as serve.generate.generate_tokens with quantize_cache=True
     (verify_step requires the int8 cache). Greedy is token-exact vs
     lockstep; sampling is distribution-exact (see module docstring) but
     consumes randomness differently, so individual runs differ from
-    lockstep runs the way two lockstep seeds differ from each other."""
+    lockstep runs the way two lockstep seeds differ from each other.
+    draft_table/with_stats: external drafts + pass-count return (see
+    _spec_from_features)."""
     video_features = vlm.encode_video(params, cfg, spatial_pixels,
                                       temporal_pixels)
     return _spec_from_features(
         params, cfg, input_ids, attn_mask, video_features, rng,
         max_new_tokens=max_new_tokens, draft_len=draft_len,
         temperature=temperature, top_p=top_p, do_sample=do_sample,
-        eos_token_id=eos_token_id, pad_token_id=pad_token_id)
+        eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+        draft_table=draft_table, with_stats=with_stats)
 
 
 @functools.partial(jax.jit, static_argnames=_SPEC_STATICS)
@@ -286,7 +321,9 @@ def generate_tokens_spec_from_prefix(
     do_sample: bool = False,
     eos_token_id: int = 2,
     pad_token_id: int = 0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    draft_table: Optional[jnp.ndarray] = None,
+    with_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Speculative generation over the shared-prefix CASCADE cache: the two
     decode DMA levers compound — each verify pass streams the cache once
     for draft_len+1 candidate tokens (this module), and the per-video
@@ -318,7 +355,8 @@ def generate_tokens_spec_from_prefix(
     buf0 = buf0.at[:, Sq].set(tok0)
     done0 = tok0 == eos_token_id
     state = SpecState(cache, tail_valid, pos0, buf0,
-                      jnp.ones((B,), jnp.int32), done0, rng)
+                      jnp.ones((B,), jnp.int32), done0, rng,
+                      jnp.zeros((), jnp.int32))
 
     iidx = jnp.arange(S_v)[None, :]
     rows = jnp.arange(B)[:, None]
@@ -329,7 +367,10 @@ def generate_tokens_spec_from_prefix(
     def body(st: SpecState):
         alive = ~st.done & (st.step < max_new_tokens)
         ptr = Sq + st.step
-        drafts = ngram_draft(st.buf, ptr, draft_len)
+        if draft_table is not None:
+            drafts = table_draft(draft_table, ptr, draft_len)
+        else:
+            drafts = ngram_draft(st.buf, ptr, draft_len)
         cur = jnp.take_along_axis(st.buf, (ptr - 1)[:, None], 1)
         inputs = jnp.concatenate([cur, drafts], axis=1)
         token_embeds = llm_mod.embed_lookup(params["llm"]["embed"], inputs)
@@ -355,11 +396,13 @@ def generate_tokens_spec_from_prefix(
         buf = st.buf.at[rows, cols].set(emitted, mode="drop")
         done = st.done | jnp.any(is_eos & (iidx < e[:, None]), axis=-1)
         return SpecState(cache, valid, st.pos_next + e, buf,
-                         st.step + e, done, rng)
+                         st.step + e, done, rng, st.passes + 1)
 
     final = jax.lax.while_loop(cond, body, state)
     out = final.buf[:, Sq:]
     lengths = jnp.sum(out != pad_token_id, axis=-1)
+    if with_stats:
+        return out, lengths, final.passes
     return out, lengths
 
 
@@ -379,7 +422,9 @@ def generate_tokens_spec_from_features(
     do_sample: bool = False,
     eos_token_id: int = 2,
     pad_token_id: int = 0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    draft_table: Optional[jnp.ndarray] = None,
+    with_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """generate_tokens_spec from PRECOMPUTED video features — the
     feature-cache path (serve/engine.run_stream_cached): eval workloads with
     repeated videos compound the encode dedup with the verify-pass decode
@@ -389,4 +434,5 @@ def generate_tokens_spec_from_features(
         params, cfg, input_ids, attn_mask, video_features, rng,
         max_new_tokens=max_new_tokens, draft_len=draft_len,
         temperature=temperature, top_p=top_p, do_sample=do_sample,
-        eos_token_id=eos_token_id, pad_token_id=pad_token_id)
+        eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+        draft_table=draft_table, with_stats=with_stats)

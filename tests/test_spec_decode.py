@@ -253,6 +253,54 @@ def test_spec_generate_matches_greedy_lockstep():
     assert (np.asarray(len_s) == 6).all()
 
 
+def test_spec_table_drafter_and_stats():
+    """External draft-table drafter (table_draft): greedy output stays
+    token-exact vs lockstep at ANY table content; an oracle table (the
+    model's own greedy stream) commits draft_len+1 tokens/pass (pass count
+    via with_stats), a fully-corrupted table degrades to 1 token/pass —
+    the acceptance-curve machinery of scripts/bench_spec_decode.py."""
+    from grounded_video_llm_tpu.core.config import micro_vlm_config
+    from grounded_video_llm_tpu.models import vlm
+    from grounded_video_llm_tpu.serve.generate import \
+        generate_tokens_from_features
+    from grounded_video_llm_tpu.serve.speculative import \
+        generate_tokens_spec_from_features
+    from grounded_video_llm_tpu.text.templates import IMAGE_TOKEN_INDEX
+
+    cfg = micro_vlm_config("phi3.5")
+    params = vlm.init_params(jax.random.key(0), cfg)
+    B, S, NEW, K = 2, 8, 6, 3
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 50, size=(B, S)).astype(np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    mask = jnp.ones((B, S), jnp.int32)
+    feats = jnp.zeros((B, cfg.num_video_tokens, cfg.llm.hidden_size),
+                      jnp.float32)
+    kw = dict(max_new_tokens=NEW, temperature=0.0, do_sample=False,
+              eos_token_id=-2, pad_token_id=0)
+    ref, ref_len = generate_tokens_from_features(
+        params, cfg, jnp.asarray(ids), mask, feats, jax.random.key(0),
+        quantize_cache=True, **kw)
+
+    # oracle table = prompt + the greedy stream itself → every draft accepts
+    oracle = jnp.concatenate([jnp.asarray(ids), ref.astype(jnp.int32)], 1)
+    got, got_len, passes = generate_tokens_spec_from_features(
+        params, cfg, jnp.asarray(ids), mask, feats, jax.random.key(0),
+        draft_len=K, draft_table=oracle, with_stats=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(got_len), np.asarray(ref_len))
+    # NEW=6, K+1=4/pass: first token from prefill, then ceil(5/4)=2 passes
+    assert int(passes) == 2, int(passes)
+
+    # fully-corrupted table: still exact, but every pass commits 1 token
+    bad = (oracle + 1) % 50
+    got_b, _, passes_b = generate_tokens_spec_from_features(
+        params, cfg, jnp.asarray(ids), mask, feats, jax.random.key(0),
+        draft_len=K, draft_table=bad, with_stats=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref))
+    assert int(passes_b) == NEW - 1, int(passes_b)
+
+
 def test_spec_accept_preserves_distribution():
     """Delta-draft rejection sampling: the marginal law of the first emitted
     token equals the model distribution exactly (Leviathan et al. for a
