@@ -93,6 +93,89 @@ def main():
           f"(attention ≈ {1000*(t_bf - t_bf_na):.2f} ms bf16 / "
           f"{1000*(t_q - t_q_na):.2f} ms w8a8)")
 
+    # ---- GEMM decomposition: where does the W8A8 block time go? ----
+    # For each block GEMM shape, three legs (all chained R in-jit):
+    #   dot_bf16 — plain XLA bf16 dot (the no-quant MXU baseline)
+    #   dot_i8i8 — XLA int8xint8 dot, activations PRE-quantized (pure int8
+    #              MXU rate; excludes quant machinery)
+    #   w8a8     — the real ops.int8_matmul path incl. dynamic per-row
+    #              activation quant + fp32 dequant epilogue
+    # dot legs vs w8a8 legs bound the quant-machinery share; sum of w8a8
+    # legs vs block_w8a8 bounds the non-GEMM (elementwise/attention) share.
+    from grounded_video_llm_tpu.ops import int8_matmul
+
+    M = CLIPS * S
+    x2d = x.reshape(M, cfg.embed_dim)
+
+    def gemm_flops(m, k, n):
+        return 2.0 * m * k * n
+
+    for name, w in (("qkv", bp["qkv_kernel"]),
+                    ("proj", bp["proj"]["kernel"]),
+                    ("fc1", bp["fc1"]["kernel"]),
+                    ("fc2", bp["fc2"]["kernel"])):
+        K, N = w.shape
+        xin = x2d if K == cfg.embed_dim else jnp.zeros((M, K), jnp.bfloat16)
+        wq, wscale = quantize_weights_int8(w)
+        # pre-quantized activations for the pure-dot leg (same math as
+        # dynamic_int8_matmul's in-line quant; on-device — the tunnel is
+        # ~50MB/s)
+        @jax.jit
+        def actq(a):
+            af = a.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(af), -1, keepdims=True) / 127.0,
+                            1e-8)
+            return jnp.clip(jnp.round(af / s), -127, 127).astype(jnp.int8)
+
+        xq8 = actq(xin)
+
+        # chain rule: acc must consume the FULL output (a [:1,:1] slice lets
+        # XLA narrow slice-of-dot into a 1x1 dot — first run measured
+        # thousands of "TF/s"), and the next iteration's input must depend
+        # on acc (else the R identical dots CSE into one). The full-sum
+        # epilogue adds ~1-4ms/pass identically to all three legs — read
+        # the DELTAS, not the absolutes.
+        def dot_bf16(a, wgt):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(R):
+                o = jax.lax.dot_general(
+                    (a * (1.0 + acc * 0)).astype(a.dtype), wgt,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.sum(o)
+            return acc
+
+        t = timed(f"dot_bf16_{name}", dot_bf16, xin, w)
+        print(f"    -> {gemm_flops(M, K, N)/t/1e12:6.1f} TF/s "
+              f"[M={M} K={K} N={N}]")
+
+        def dot_i8(a, wgt):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(R):
+                # int8 values are exact in f32; the f32 acc keeps the
+                # perturbation un-foldable (integer acc*0 folds to 0)
+                pert = (acc * 0).astype(jnp.int8)
+                o = jax.lax.dot_general(
+                    a + pert, wgt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = acc + jnp.sum(o).astype(jnp.float32)
+            return acc
+
+        t = timed(f"dot_i8i8_{name}", dot_i8, xq8, wq)
+        print(f"    -> {gemm_flops(M, K, N)/t/1e12:6.1f} TF/s")
+
+        def w8a8_full(a, wgt_q, wgt_s):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(R):
+                o = int8_matmul.dynamic_int8_matmul(
+                    (a * (1.0 + acc * 0)).astype(a.dtype), wgt_q, wgt_s)
+                acc = acc + jnp.sum(o.astype(jnp.float32))
+            return acc
+
+        t = timed(f"w8a8_{name}", w8a8_full, xin, wq, wscale)
+        print(f"    -> {gemm_flops(M, K, N)/t/1e12:6.1f} TF/s (incl. "
+              f"dynamic act quant + dequant)")
+
 
 if __name__ == "__main__":
     main()
