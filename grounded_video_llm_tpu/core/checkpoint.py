@@ -65,15 +65,30 @@ def wait_for_saves() -> None:
 
 
 def load_pytree(path: str, template: Optional[Any] = None) -> Any:
+    """Restore a pytree. `template` leaves may be concrete arrays OR
+    jax.ShapeDtypeStruct; when a leaf carries a `.sharding`
+    (jax.sharding.NamedSharding etc.), orbax restores its shards DIRECTLY
+    onto those devices — each host/device reads only its own byte ranges, so
+    a mesh-sharded train state never materializes unsharded on one host
+    (the reference's resume path gathers FULL_STATE_DICT to rank-0 CPU,
+    training/fsdp.py:94-127)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+
+    def _abstract(x):
+        if not hasattr(x, "shape"):
+            return x
+        sharding = getattr(x, "sharding", None)
+        if sharding is not None and not isinstance(
+                sharding, jax.sharding.SingleDeviceSharding):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
     with ocp.StandardCheckpointer() as ckptr:
         if template is not None:
-            shapes = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-                if hasattr(x, "shape") else x, template)
-            return ckptr.restore(path, shapes)
+            return ckptr.restore(path,
+                                 jax.tree_util.tree_map(_abstract, template))
         return ckptr.restore(path)
 
 

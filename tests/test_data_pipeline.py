@@ -216,3 +216,44 @@ def test_async_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(tree)):
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b, np.float32))
+
+
+def test_sharded_checkpoint_restores_onto_mesh(tmp_path):
+    """Mesh-sharded save → restore must land shards DIRECTLY on the mesh
+    (multi-host resume path: each host reads only its own byte ranges —
+    vs the reference's FULL_STATE_DICT rank-0 gather, fsdp.py:94-127).
+    The restore template carries NamedShardings via load_pytree's abstract
+    leaves; values and placement must both round-trip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from grounded_video_llm_tpu.core import checkpoint as ckpt
+    from grounded_video_llm_tpu.parallel.mesh import build_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = build_mesh(data=1, fsdp=4, tensor=2)
+    shardings = {
+        "w": NamedSharding(mesh, P("fsdp", "tensor")),
+        "opt": {"mu": NamedSharding(mesh, P("fsdp", None)),
+                "step": NamedSharding(mesh, P())},
+    }
+    tree = {
+        "w": jnp.arange(8 * 6, dtype=jnp.float32).reshape(8, 6),
+        "opt": {"mu": jnp.ones((16, 3), jnp.bfloat16),
+                "step": jnp.int32(11)},
+    }
+    sharded = jax.tree_util.tree_map(jax.device_put, tree, shardings)
+    path = str(tmp_path / "sharded_state")
+    ckpt.save_pytree(path, sharded)
+
+    got = ckpt.load_pytree(path, template=sharded)
+    for g, want, s in zip(jax.tree_util.tree_leaves(got),
+                          jax.tree_util.tree_leaves(tree),
+                          jax.tree_util.tree_leaves(
+                              shardings, is_leaf=lambda x: isinstance(
+                                  x, NamedSharding))):
+        assert g.sharding == s, (g.sharding, s)
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(want, np.float32))
