@@ -20,6 +20,7 @@ kernel is a further optimization, not a correctness need.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -137,7 +138,7 @@ _M_INIT = -1e30
 
 
 def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
-                       scale, block_q, block_k, sk_orig, sq_orig, n_blocks,
+                       scale, block_q, block_k, q_offset, n_blocks,
                        window):
     """Causal forward that SKIPS fully-masked k-chunks. The full-rectangle
     kernel above computes [block_q, Sk] scores and masks half away — at
@@ -145,9 +146,12 @@ def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     passes. Here each q block online-softmaxes over only its valid k prefix
     (flash-attention's standard inner loop, with the trip count derived from
     the causal structure). K/V are already whole-resident in VMEM, so the
-    skip saves pure compute, not DMA."""
+    skip saves pure compute, not DMA.
+
+    q_offset = kpos of q row 0 (Sk - Sq for a plain bottom-aligned call;
+    arbitrary for the chunked-rectangle path)."""
     sk_p = k_ref.shape[2]
-    offset = sk_orig - sq_orig     # kpos of q row 0
+    offset = q_offset
 
     def body(j, _):
         q = q_ref[0, 0, pl.ds(j * block_q, block_q), :]   # [block_q, D]
@@ -213,12 +217,16 @@ def _fwd_kernel_causal(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
 
 
 def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None,
-               has_bias=True):
+               has_bias=True, q_offset=None):
     """Internally works in [B, H, S, D] layout — Pallas TPU blocks must live in
-    the last two dims (sublane x lane)."""
+    the last two dims (sublane x lane). q_offset: global key position of q
+    row 0 (defaults to Sk - Sq, i.e. bottom-aligned causal); the chunked
+    rectangle path passes explicit offsets."""
     B, Sq, H, D = q.shape
     _, Sk, Hkv, _ = k.shape
     G = H // Hkv
+    if q_offset is None:
+        q_offset = Sk - Sq
 
     # VMEM budget: the fp32 score tile (block_q x Sk) and its exp copy are the
     # big consumers; keep 2*block_q*Sk*4B under ~8MB so q/k/v/o fit alongside
@@ -232,6 +240,8 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None,
         # blocks overflow by 0.15MB at Sq_p 7680)
         if Sq > 6144:
             block_q = 128
+        if os.environ.get("GVLLM_FLASH_BQ"):  # debug: compile-crash bisects
+            block_q = int(os.environ["GVLLM_FLASH_BQ"])
     else:
         budget_rows = max(64, (8 * 1024 * 1024) // (Sk * 8))
         block_q = min(BLOCK_Q, budget_rows // 8 * 8, -(-Sq // 8) * 8)
@@ -259,6 +269,8 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None,
         # block_k multiple; padded keys carry a NEG_INF bias (and fall beyond
         # every valid row's causal horizon anyway).
         block_k = 512 if Sq <= 6144 else 256
+        if os.environ.get("GVLLM_FLASH_BK"):  # debug: compile-crash bisects
+            block_k = int(os.environ["GVLLM_FLASH_BK"])
         Sk_p = -(-Sk // block_k) * block_k
         kpad = Sk_p - Sk
         if kpad:
@@ -267,7 +279,7 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None,
             bias = jnp.pad(bias, ((0, 0), (0, kpad)), constant_values=NEG_INF)
         kernel = functools.partial(_fwd_kernel_causal, scale=scale,
                                    block_q=block_q, block_k=block_k,
-                                   sk_orig=Sk, sq_orig=Sq, n_blocks=n_blocks,
+                                   q_offset=q_offset, n_blocks=n_blocks,
                                    window=window)
         kv_len = Sk_p
     else:
@@ -313,12 +325,12 @@ def _flash_fwd(q, k, v, bias, scale, causal, bounded=False, window=None,
 
 def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
                    bias_ref, dq_ref, *, scale, causal, window, block_q,
-                   block_k, sk_orig, sq_orig, n_qblocks):
+                   block_k, q_offset, n_qblocks):
     """dq for one (batch, q-head): q-block outer loop, k-chunk inner loop
     with the causal/window extent skip. p replays from the saved per-row
     logsumexp — no max/denom recompute, no cross-block state."""
     sk_p = k_ref.shape[2]
-    offset = sk_orig - sq_orig
+    offset = q_offset
 
     def body(j, _):
         q_j = q_ref[0, 0, pl.ds(j * block_q, block_q), :]
@@ -376,7 +388,7 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
 
 def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
                     bias_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale,
-                    causal, window, block_q, block_k, sk_orig, sq_orig,
+                    causal, window, block_q, block_k, q_offset,
                     n_qblocks, group):
     """dk/dv for one (batch, k-block, q-head): accumulation is BLOCK-LOCAL
     ([block_k, D] scratch) instead of the old whole-[Sk, D] scratch that
@@ -393,7 +405,7 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     k_c = k_ref[0, 0, :, :]                     # [block_k, D]
     v_c = v_ref[0, 0, :, :]
     b_c = bias_ref[0, 0, :][None, :]
-    offset = sk_orig - sq_orig
+    offset = q_offset
 
     if causal:
         # first q block whose highest row can see this k block; with a
@@ -447,7 +459,8 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         dv_ref[0, 0, :, :] = dv_acc[:, :].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, window=None):
+def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, window=None,
+               q_offset=None):
     """Two-kernel flash backward (the standard schedule): a dq kernel
     (q outer, k chunks inner) and a dkv kernel (k-block outer, q chunks
     inner, block-local fp32 accumulators). Softmax replays from the saved
@@ -457,6 +470,8 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, window=None):
     B, Sq, H, D = q.shape
     _, Sk, Hkv, _ = k.shape
     G = H // Hkv
+    if q_offset is None:
+        q_offset = Sk - Sq
 
     block_q = min(128, -(-Sq // 8) * 8)
     block_k = 256
@@ -495,7 +510,7 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, window=None):
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
                           window=window, block_q=block_q, block_k=block_k,
-                          sk_orig=Sk, sq_orig=Sq, n_qblocks=n_qblocks),
+                          q_offset=q_offset, n_qblocks=n_qblocks),
         grid=(B, H),
         in_specs=[
             pl.BlockSpec((1, 1, Sq_p, D), lambda b, h: (b, h, 0, 0)),
@@ -514,7 +529,7 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, window=None):
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
                           window=window, block_q=block_q, block_k=block_k,
-                          sk_orig=Sk, sq_orig=Sq, n_qblocks=n_qblocks,
+                          q_offset=q_offset, n_qblocks=n_qblocks,
                           group=G),
         grid=(B, n_kblocks, H),
         in_specs=[
@@ -558,16 +573,149 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, window=None):
     return dq, dk, dv
 
 
+# ---------------------------------------------------------------------------
+# Chunked-rectangle path for long causal sequences.
+#
+# The 2026-08-19 axon compile-helper regression rejects flash programs past
+# S ≈ 6912 (COMPILE_HELPER_REGRESSION_r04.md) — the grounded train step's
+# spliced length is 7516. Probed: the crash needs BOTH dims large (square
+# 7515 fails; 3758×7515, 1024×7515 and 7515×3758 rectangles all compile), so
+# by default only the q axis chunks (each q-chunk still streams the full
+# K/V: no merge cost) and k chunks only past a higher threshold. Independent
+# of the service bug, the rectangle decomposition also bounds per-program
+# VMEM pressure for arbitrary context growth: each (q-chunk, k-chunk)
+# rectangle runs the unmodified kernels with an explicit global q_offset;
+# partial outputs merge EXACTLY via the saved per-row logsumexp (softmax is
+# associative over key partitions). The backward needs no merge at all:
+# p replays from the GLOBAL lse, so every rectangle's (dq, dk, dv)
+# contribution is simply additive.
+# ---------------------------------------------------------------------------
+
+def _chunk_limits() -> tuple:
+    lq = int(os.environ.get("GVLLM_FLASH_CHUNK", "6912"))
+    lk = int(os.environ.get("GVLLM_FLASH_CHUNK_K", str(2 * lq)))
+    return lq, lk
+
+
+def _chunk_bounds(n: int, limit: int):
+    """[0, n) as ceil(n/limit) near-equal chunks with 8-aligned starts."""
+    nchunks = -(-n // limit)
+    size = -(-(-(-n // nchunks)) // 8) * 8
+    return [(s, min(s + size, n)) for s in range(0, n, size)]
+
+
+def _rect_skips(q0, q1, k0, k1, offg, window):
+    """True if the (q-chunk, k-chunk) rectangle holds no unmasked score:
+    entirely above the causal diagonal, or entirely outside the window."""
+    if k0 > offg + q1 - 1:
+        return True
+    return window is not None and offg + q0 - (k1 - 1) >= window
+
+
+def _merge_partials(acc, o_c, lse_c):
+    """Online merge of normalized flash partials over a key partition.
+
+    Each partial is (o_c = softmax(s_c)·V_c, lse_c = logsumexp(s_c)); the
+    exact global result weights each by exp(lse_c − m). Dead rows (no valid
+    key in the chunk) carry the kernels' o=0 / lse=+inf convention and merge
+    with weight 0; rows dead in EVERY chunk stay (0, +inf)."""
+    if acc is None:
+        return o_c.astype(jnp.float32), lse_c
+    o_p, lse_p = acc
+    lp = jnp.where(jnp.isposinf(lse_p), _M_INIT, lse_p)   # [B, H, Sq]
+    lc = jnp.where(jnp.isposinf(lse_c), _M_INIT, lse_c)
+    m = jnp.maximum(lp, lc)
+    wp = jnp.where(lp <= _M_INIT, 0.0, jnp.exp(lp - m))
+    wc = jnp.where(lc <= _M_INIT, 0.0, jnp.exp(lc - m))
+    tot = wp + wc
+    dead = tot <= 0.0
+    safe = jnp.where(dead, 1.0, tot)
+    lse = jnp.where(dead, jnp.inf, m + jnp.log(safe))
+    # o is [B, Sq, H, D]; weights live per (B, H, Sq) row
+    wq = (wp / safe).transpose(0, 2, 1)[..., None]
+    wn = (wc / safe).transpose(0, 2, 1)[..., None]
+    return o_p * wq + o_c.astype(jnp.float32) * wn, lse
+
+
+def _flash_fwd_chunked(q, k, v, bias, scale, window, limit_q, limit_k):
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    offg = Sk - Sq
+    outs, lses = [], []
+    for q0, q1 in _chunk_bounds(Sq, limit_q):
+        parts = [
+            _flash_fwd(q[:, q0:q1], k[:, k0:k1], v[:, k0:k1], bias[:, k0:k1],
+                       scale, causal=True, window=window,
+                       q_offset=offg + q0 - k0)
+            for k0, k1 in _chunk_bounds(Sk, limit_k)
+            if not _rect_skips(q0, q1, k0, k1, offg, window)]
+        if not parts:       # Sq > Sk top rows: every key above the diagonal
+            outs.append(jnp.zeros_like(q[:, q0:q1]))
+            lses.append(jnp.full((B, H, q1 - q0), jnp.inf, jnp.float32))
+        elif len(parts) == 1:   # q-only chunking: no merge, no fp32 detour
+            outs.append(parts[0][0])
+            lses.append(parts[0][1])
+        else:
+            acc = None
+            for o_c, lse_c in parts:
+                acc = _merge_partials(acc, o_c, lse_c)
+            outs.append(acc[0].astype(q.dtype))
+            lses.append(acc[1])
+    return jnp.concatenate(outs, axis=1), jnp.concatenate(lses, axis=2)
+
+
+def _flash_bwd_chunked(q, k, v, bias, o, lse, do, scale, window, limit_q,
+                       limit_k):
+    Sq, Sk = q.shape[1], k.shape[1]
+    offg = Sk - Sq
+    kb = _chunk_bounds(Sk, limit_k)
+    dq_parts, dk_parts, dv_parts = [], [None] * len(kb), [None] * len(kb)
+    for q0, q1 in _chunk_bounds(Sq, limit_q):
+        dq_c = None
+        for j, (k0, k1) in enumerate(kb):
+            if _rect_skips(q0, q1, k0, k1, offg, window):
+                continue
+            dq_p, dk_p, dv_p = _flash_bwd(
+                q[:, q0:q1], k[:, k0:k1], v[:, k0:k1], bias[:, k0:k1],
+                o[:, q0:q1], lse[:, :, q0:q1], do[:, q0:q1], scale,
+                causal=True, window=window, q_offset=offg + q0 - k0)
+            dq_c = dq_p if dq_c is None else dq_c + dq_p
+            dk_parts[j] = dk_p if dk_parts[j] is None else dk_parts[j] + dk_p
+            dv_parts[j] = dv_p if dv_parts[j] is None else dv_parts[j] + dv_p
+        dq_parts.append(jnp.zeros_like(q[:, q0:q1]) if dq_c is None else dq_c)
+    dk = jnp.concatenate(
+        [jnp.zeros_like(k[:, k0:k1]) if p is None else p
+         for p, (k0, k1) in zip(dk_parts, kb)], axis=1)
+    dv = jnp.concatenate(
+        [jnp.zeros_like(v[:, k0:k1]) if p is None else p
+         for p, (k0, k1) in zip(dv_parts, kb)], axis=1)
+    return jnp.concatenate(dq_parts, axis=1), dk, dv
+
+
+def _needs_chunking(causal, Sq, Sk) -> bool:
+    # only the causal path ever exceeds the limits (encoder seqs are 2049/577)
+    lq, lk = _chunk_limits()
+    return causal and (Sq > lq or Sk > lk)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _flash_mha_core(q, k, v, bias, causal, scale, bounded, window, has_bias):
-    out, _ = _flash_fwd(q, k, v, bias, scale, causal, bounded, window,
-                        has_bias)
+    if _needs_chunking(causal, q.shape[1], k.shape[1]):
+        out, _ = _flash_fwd_chunked(q, k, v, bias, scale, window,
+                                    *_chunk_limits())
+    else:
+        out, _ = _flash_fwd(q, k, v, bias, scale, causal, bounded, window,
+                            has_bias)
     return out
 
 
 def _core_fwd(q, k, v, bias, causal, scale, bounded, window, has_bias):
-    out, lse = _flash_fwd(q, k, v, bias, scale, causal, bounded, window,
-                          has_bias)
+    if _needs_chunking(causal, q.shape[1], k.shape[1]):
+        out, lse = _flash_fwd_chunked(q, k, v, bias, scale, window,
+                                      *_chunk_limits())
+    else:
+        out, lse = _flash_fwd(q, k, v, bias, scale, causal, bounded, window,
+                              has_bias)
     return out, (q, k, v, bias, out, lse)
 
 
@@ -575,7 +723,12 @@ def _core_bwd(causal, scale, bounded, window, has_bias, residuals, g):
     # softmax replays from the saved logsumexp — identical in bounded and
     # full modes (softmax offset-invariance)
     q, k, v, bias, o, lse = residuals
-    dq, dk, dv = _flash_bwd(q, k, v, bias, o, lse, g, scale, causal, window)
+    if _needs_chunking(causal, q.shape[1], k.shape[1]):
+        dq, dk, dv = _flash_bwd_chunked(q, k, v, bias, o, lse, g, scale,
+                                        window, *_chunk_limits())
+    else:
+        dq, dk, dv = _flash_bwd(q, k, v, bias, o, lse, g, scale, causal,
+                                window)
     return dq, dk, dv, jnp.zeros_like(bias)
 
 

@@ -116,6 +116,96 @@ def test_bounded_softmax_matches_full():
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in g)
 
 
+@pytest.mark.parametrize("sq,sk", [(128, 128), (100, 128), (128, 60),
+                                   (96, 256)])
+@pytest.mark.parametrize("hkv", [2, 1])
+def test_chunked_rectangles_match_unchunked(monkeypatch, sq, sk, hkv):
+    """Forcing tiny chunk limits must reproduce the single-kernel result
+    exactly in math (rtol only for fp reassociation): exercises the
+    q-chunk×k-chunk rectangle decomposition + lse merge that keeps each
+    compiled program under the axon helper's size ceiling
+    (COMPILE_HELPER_REGRESSION_r04.md) for the 7516-token grounded step.
+
+    For Sq > Sk, bottom-aligned causal gives the top Sq−Sk rows no visible
+    key: flash (chunked or not) emits exactly 0 there, while xla_mha's
+    all-masked softmax degenerates to a uniform average — compare only the
+    rows that have at least one valid key."""
+    B, H, D = 2, 2, 16
+    q = _rand((B, sq, H, D), 0)
+    k, v = _rand((B, sk, hkv, D), 1), _rand((B, sk, hkv, D), 2)
+    mask = jnp.asarray(
+        np.r_[np.ones((B, sk - 11)).T, np.zeros((B, 11)).T].T, jnp.int32)
+    want = xla_mha(q, k, v, causal=True, mask=mask)
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK", "48")
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK_K", "56")
+    got = flash_mha(q, k, v, causal=True, mask=mask)
+    dead = max(0, sq - sk)
+    np.testing.assert_array_equal(np.asarray(got)[:, :dead], 0.0)
+    np.testing.assert_allclose(np.asarray(got)[:, dead:],
+                               np.asarray(want)[:, dead:],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_backward_matches_xla(monkeypatch):
+    B, S, H, D = 1, 160, 4, 16
+    q = _rand((B, S, H, D))
+    k, v = _rand((B, S, 2, D), 1), _rand((B, S, 2, D), 2)
+    mask = jnp.asarray(np.r_[np.ones(140), np.zeros(20)][None], jnp.int32)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(
+            fn(q, k, v, causal=True, mask=mask) ** 2)
+
+    gx = jax.grad(loss(xla_mha), argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK", "64")
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK_K", "48")
+    gf = jax.grad(loss(flash_mha), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
+def test_chunked_sliding_window(monkeypatch):
+    B, S, H, D = 1, 128, 2, 16
+    q, k, v = _rand((B, S, H, D)), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+    want = xla_mha(q, k, v, causal=True, sliding_window=40)
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK", "32")
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK_K", "32")
+    got = flash_mha(q, k, v, causal=True, sliding_window=40)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(
+            fn(q, k, v, causal=True, sliding_window=40) ** 2)
+
+    gx = jax.grad(loss(xla_mha), argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss(flash_mha), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
+def test_chunked_left_padded_dead_rows(monkeypatch):
+    """Dead rows (fully masked under left padding) must stay exactly 0
+    through the chunk merge — lse=+inf partials merge with weight 0, and a
+    row dead in EVERY chunk stays (0, +inf)."""
+    B, S, H, D = 1, 96, 2, 16
+    pad = 37  # dead rows span the whole first q-chunk and part of the second
+    mask = jnp.asarray(
+        np.concatenate([np.zeros((B, pad)), np.ones((B, S - pad))], axis=1),
+        jnp.int32)
+    q, k, v = _rand((B, S, H, D)), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK", "32")
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK_K", "32")
+    out = np.asarray(flash_mha(q, k, v, causal=True, mask=mask))
+    assert np.all(np.isfinite(out))
+    np.testing.assert_array_equal(out[:, :pad], 0.0)
+    want = np.asarray(xla_mha(q, k, v, causal=True, mask=mask))
+    np.testing.assert_allclose(out[:, pad:], want[:, pad:], rtol=2e-3,
+                               atol=2e-4)
+
+
 @pytest.mark.parametrize("bounded", [False, True])
 def test_left_padded_fully_masked_rows_finite(bounded):
     """Left-padded prompts make PAD query rows fully masked (every key they
