@@ -223,6 +223,8 @@ def main():
         from grounded_video_llm_tpu.serve.generate import (
             generate_tokens_from_prefix)
 
+        pre_k, pre_v, pre_m = prefix   # build_prefix_kv returns (k, v, mask)
+
         def run_prefix_lockstep(order, label):
             t_start = time.time()
             lats, tokens = [], 0
@@ -231,9 +233,9 @@ def main():
                 b = len(chunk_ids)
                 bud = max(budgets[j] for j in chunk_ids)
                 toks, _ = generate_tokens_from_prefix(
-                    params, cfg, jnp.asarray(posts[chunk_ids]),
+                    params, cfg, jnp.asarray(np.asarray(posts)[chunk_ids]),
                     jnp.ones((b, posts.shape[1]), jnp.int32),
-                    prefix.k, prefix.v, prefix.mask,
+                    pre_k, pre_v, pre_m,
                     jax.random.key(0), max_new_tokens=bud,
                     temperature=0.0, do_sample=False, eos_token_id=EOS,
                     pad_token_id=PAD, quantize_cache=True,
