@@ -561,21 +561,10 @@ def prefill_continue(
                 "shared-prefix caches require quantize_cache=True and a "
                 "batch-1 prefix")
 
-        def hm(kv, pad_to):
-            q8, sc = qkv_fn(kv)                      # [L,b,S,Hkv,Dh]
-            q8 = q8.transpose(0, 1, 3, 4, 2)         # [L,b,Hkv,Dh,S]
-            sc = sc.transpose(0, 1, 3, 2)[:, :, :, None, :]
-            if pad_to > q8.shape[-1]:
-                extra = pad_to - q8.shape[-1]
-                q8 = jnp.pad(q8, ((0, 0),) * 4 + ((0, extra),))
-                sc = jnp.pad(sc, ((0, 0),) * 4 + ((0, extra),),
-                             constant_values=1.0)
-            return q8, sc
-
-        pkq, pks = hm(prefix_k, Sp)
-        pvq, pvs = hm(prefix_v, Sp)
-        tkq, tks = hm(new_ks, tail_len)
-        tvq, tvs = hm(new_vs, tail_len)
+        pkq, pks = quantize_kv_head_major(prefix_k, Sp)
+        pvq, pvs = quantize_kv_head_major(prefix_v, Sp)
+        tkq, tks = quantize_kv_head_major(new_ks, tail_len)
+        tvq, tvs = quantize_kv_head_major(new_vs, tail_len)
         tail = QuantKVCache(tkq, tks, tvq, tvs,
                             jnp.full((B,), Sq, jnp.int32))
         spc = SharedPrefixCache(pkq, pks, pvq, pvs,
@@ -619,6 +608,25 @@ def prefill_continue(
     v_full = jnp.pad(jnp.concatenate([pv_b.astype(dt), new_vs.astype(dt)],
                                      axis=2), pad)
     return logits, KVCache(k_full, v_full, length), valid, pos_next
+
+
+def quantize_kv_head_major(kv, pad_to: int):
+    """Quantize a bf16 K or V stack [L, B, S, Hkv, Dh] into the head-major
+    transposed int8 layout the quantized decode caches use ([L, B, Hkv, Dh,
+    pad_to] int8 + [L, B, Hkv, 1, pad_to] f32 scales), zero/one-padding the
+    sequence axis to pad_to. Shared by prefill_continue's SharedPrefixCache
+    assembly and the continuous pool's one-time prefix pinning."""
+    from ..ops.decode_attention_int8 import quantize_kv as qkv_fn
+
+    q8, sc = qkv_fn(kv)                      # [L,b,S,Hkv,Dh]
+    q8 = q8.transpose(0, 1, 3, 4, 2)         # [L,b,Hkv,Dh,S]
+    sc = sc.transpose(0, 1, 3, 2)[:, :, :, None, :]
+    if pad_to > q8.shape[-1]:
+        extra = pad_to - q8.shape[-1]
+        q8 = jnp.pad(q8, ((0, 0),) * 4 + ((0, extra),))
+        sc = jnp.pad(sc, ((0, 0),) * 4 + ((0, extra),),
+                     constant_values=1.0)
+    return q8, sc
 
 
 class SharedPrefixCache(NamedTuple):
@@ -696,6 +704,10 @@ def decode_step_shared(
     #                           the equivalent single-cache max_len so the
     #                           shared and non-shared paths pick identical
     #                           factor sets (default Sp + Mt)
+    active: Optional[jnp.ndarray] = None,  # [B] bool — continuous-pool
+    #                           support, same semantics as decode_step:
+    #                           inactive rows clamp their tail write slot
+    #                           and do NOT advance tail.length / tail_valid
 ):
     """decode_step over a SharedPrefixCache: same contract (append the new
     token's k/v — to the TAIL — and attend over prefix+tail+rider), but the
@@ -796,13 +808,16 @@ def decode_step_shared(
 
     kq, ksc = qkv_fn(new_ks)
     vq, vsc = qkv_fn(new_vs)
+    adv = jnp.int32(1) if active is None else active.astype(jnp.int32)
     new_tail = QuantKVCache(
         scatter_write_kv(cache.tail.k, kq, write_idx),
         scatter_write_scale(cache.tail.k_scale, ksc, write_idx),
         scatter_write_kv(cache.tail.v, vq, write_idx),
         scatter_write_scale(cache.tail.v_scale, vsc, write_idx),
-        cache.tail.length + 1)
+        cache.tail.length + adv)
     slot = jnp.arange(Mt)[None, :] == write_idx[:, None]
+    if active is not None:
+        slot = slot & active[:, None]
     tail_valid = tail_valid.astype(bool) | slot
     x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
     logits = logits_from_hidden(params, x)[:, 0]

@@ -42,7 +42,11 @@ from .generate import sample_logits
 
 
 class PoolState(NamedTuple):
-    cache: llm_mod.QuantKVCache     # [L, B_pool, ...]
+    cache: llm_mod.QuantKVCache     # [L, B_pool, ...]; the shared-prefix
+    #                                 pool mode (ContinuousServer(
+    #                                 shared_prefix=True)) stores a
+    #                                 llm.SharedPrefixCache here instead and
+    #                                 `valid` covers the per-slot TAIL only
     valid: jnp.ndarray              # [B_pool, max_len] bool
     positions: jnp.ndarray          # [B_pool] next position id
     cur_token: jnp.ndarray          # [B_pool] last sampled token
@@ -242,6 +246,49 @@ def _admit_one_feats(params, state: PoolState, cfg: VLMConfig, input_ids,
     return state, first
 
 
+@jax.jit
+def _quantize_prefix_hd(prefix_k, prefix_v, prefix_mask):
+    """One-time pinning of a bf16 prefix KV into the SharedPrefixCache's
+    head-major int8 layout (llm.quantize_kv_head_major) — paid once per
+    video, not per admission."""
+    Sp = prefix_k.shape[2]
+    pkq, pks = llm_mod.quantize_kv_head_major(prefix_k, Sp)
+    pvq, pvs = llm_mod.quantize_kv_head_major(prefix_v, Sp)
+    return pkq, pks, pvq, pvs, prefix_mask.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=_SAMPLE_STATICS + ("rope_len",),
+                   donate_argnums=1)
+def _admit_one_shared(params, state: PoolState, cfg: VLMConfig, input_ids,
+                      attn_mask, prefix_k, prefix_v, prefix_mask, slot, rid,
+                      pad_token, *, rope_len: int, temperature: float, top_p,
+                      do_sample: bool):
+    """_admit_one for the SHARED-PREFIX pool (state.cache is a
+    SharedPrefixCache): the question chunk prefills against the bf16 prefix
+    (llm.prefill_continue, tail_len mode) and only the chunk's k/v land in
+    the slot's TAIL — the pool's pinned int8 prefix is untouched. The
+    tail_len-mode SharedPrefixCache return re-quantizes the prefix, but
+    those outputs are unused here so XLA dead-code-eliminates the work;
+    admission pays chunk prefill + tail insert only."""
+    tail_len = state.valid.shape[1]
+    emb = llm_mod.embed_lookup(params["llm"]["embed"], input_ids,
+                               llm_mod.embed_dtype(params["llm"]["embed"]))
+    logits, spc1, tval1, pos1 = llm_mod.prefill_continue(
+        params["llm"], cfg.llm, emb, attn_mask, prefix_k, prefix_v,
+        prefix_mask, rope_len, quantize_cache=True, tail_len=tail_len)
+    rng, sub = jax.random.split(state.rng)
+    first = sample_logits(logits, jax.random.fold_in(sub, rid),
+                          temperature, top_p, do_sample)[0]
+    # the generic row insert operates on [L, B, ...] cache stacks — hand it
+    # the pool TAIL as the cache, then rewrap the SharedPrefixCache
+    tmp = state._replace(cache=state.cache.tail, rng=rng)
+    tmp = _insert_row_impl(tmp, spc1.tail, tval1, pos1,
+                           input_ids.astype(jnp.int32), first, slot,
+                           jnp.asarray(0, jnp.int32), pad_token)
+    state = tmp._replace(cache=state.cache._replace(tail=tmp.cache))
+    return state, first
+
+
 @functools.partial(jax.jit, static_argnames=_SAMPLE_STATICS, donate_argnums=1)
 def _admit_one_prefix(params, state: PoolState, cfg: VLMConfig, input_ids,
                       attn_mask, prefix_k, prefix_v, prefix_mask, slot, rid,
@@ -263,11 +310,13 @@ def _admit_one_prefix(params, state: PoolState, cfg: VLMConfig, input_ids,
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "chunk", "temperature", "top_p",
-                              "do_sample", "eos_token_id", "pad_token_id"),
+                              "do_sample", "eos_token_id", "pad_token_id",
+                              "rope_len"),
     donate_argnums=1)
 def _decode_chunk(params, state: PoolState, cfg: VLMConfig, deactivate,
                   *, chunk: int, temperature: float, top_p, do_sample: bool,
-                  eos_token_id: int, pad_token_id: int):
+                  eos_token_id: int, pad_token_id: int,
+                  rope_len: Optional[int] = None):
     """Run `chunk` pool-wide decode steps; returns (state, tokens [B, chunk])
     with pad_token_id on inactive rows.
 
@@ -276,17 +325,28 @@ def _decode_chunk(params, state: PoolState, cfg: VLMConfig, deactivate,
     per-slot .at[].set dispatch (~27ms each on the tunnel); riding it on the
     next chunk's arguments makes it free. A retired-but-still-active row
     decodes garbage into its own slot for at most one chunk, which the
-    max_len chunk margin covers and the next insert overwrites."""
+    max_len chunk margin covers and the next insert overwrites.
+
+    Shared-prefix pools (state.cache a SharedPrefixCache) decode through
+    llm.decode_step_shared — the pinned prefix streams ONCE per token for
+    the whole pool; rope_len carries the equivalent single-cache max_len so
+    LongRoPE factor selection matches the plain pool."""
     B = state.cur_token.shape[0]
     state = state._replace(active=state.active & ~deactivate)
+    shared = isinstance(state.cache, llm_mod.SharedPrefixCache)
 
     def body(i, carry):
         st, out = carry
         token_embeds = llm_mod.embed_lookup(
             params["llm"]["embed"], st.cur_token)[:, None, :]
-        logits, cache, valid = llm_mod.decode_step(
-            params["llm"], cfg.llm, token_embeds, st.cache, st.valid,
-            st.positions, active=st.active)
+        if shared:
+            logits, cache, valid = llm_mod.decode_step_shared(
+                params["llm"], cfg.llm, token_embeds, st.cache, st.valid,
+                st.positions, rope_hint=rope_len, active=st.active)
+        else:
+            logits, cache, valid = llm_mod.decode_step(
+                params["llm"], cfg.llm, token_embeds, st.cache, st.valid,
+                st.positions, active=st.active)
         rng, sub = jax.random.split(st.rng)
         nxt = sample_logits(logits, sub, temperature, top_p, do_sample)
         nxt = jnp.where(st.active, nxt, pad_token_id)
@@ -384,11 +444,36 @@ class ContinuousServer:
                  eos_token_id: int = 2, pad_token_id: int = 0,
                  seed: int = 0, admit_batch: int = 1,
                  spec_draft_len: int = 0,
-                 prefix_len: Optional[int] = None):
+                 prefix_len: Optional[int] = None,
+                 shared_prefix: bool = False):
         self.params = params
         self.cfg = cfg
         self.pool_size = pool_size
         self.chunk = chunk
+        # shared-prefix pool (Hydragen/cascade): ONE pinned int8 prefix at
+        # batch dim 1 + small per-slot tails. Decode-attention DMA per token
+        # drops from B x (Sp + tail) to Sp + B x tail — the measured gap
+        # behind prefix-lockstep-with-cascade (405 tok/s) beating the plain
+        # prefix pool (270 tok/s, BENCH_CONT_PREFIX_r04.txt): the plain
+        # pool's slots each hold a COPY of the ~3.5k-token prefix and the
+        # decode kernel streams it B times per token. Admissions must be
+        # prefix-backed; the pool pins one prefix at a time (a request for a
+        # different video waits until the pool drains, then repins).
+        self.shared_prefix = shared_prefix
+        if shared_prefix:
+            if prefix_len is None:
+                raise ValueError("shared_prefix pools need prefix_len to "
+                                 "size the RoPE hint / fit checks")
+            if spec_draft_len:
+                raise NotImplementedError(
+                    "speculative chunks over a shared-prefix pool are not "
+                    "wired yet (llm.verify_step_shared exists; the pool "
+                    "chunk does not) — use spec_draft_len=0")
+            if admit_batch > 1:
+                raise NotImplementedError(
+                    "shared-prefix admission is single-request (the fused "
+                    "_admit_one_shared program); admit_batch must be 1")
+        self._pinned_prefix: Optional[tuple] = None
         # speculative chunks (serve/speculative.py): each chunk iteration
         # verifies spec_draft_len prompt-lookup drafts in one cache stream;
         # a row may overshoot its budget within a chunk (retirement is
@@ -422,10 +507,18 @@ class ContinuousServer:
                 else prompt_len - 1 + cfg.num_video_tokens)
         self.max_len = -(-(head + max_new_tokens
                            + chunk * self._toks_per_iter) // 128) * 128
+        # shared-prefix pools size the per-slot TAIL separately (question
+        # bucket + budget + chunk margin); max_len stays the equivalent
+        # single-cache size for RoPE-factor parity with the plain pool
+        self._tail_len = -(-(prompt_len + max_new_tokens
+                             + chunk * self._toks_per_iter) // 128) * 128
         self._prompt_len = prompt_len
         self._buf_len = (prompt_len + max_new_tokens
                          + chunk * self._toks_per_iter)
-        self.state = self._init_state(seed)
+        self._seed = seed
+        # shared-prefix state is assembled at first admission (the prefix
+        # shapes come with the request); state is None until then
+        self.state = None if shared_prefix else self._init_state(seed)
         self._slot_req: List[Optional[int]] = [None] * pool_size
         self._slot_budget = [0] * pool_size
         self._slot_cb: List[Optional[object]] = [None] * pool_size
@@ -446,6 +539,40 @@ class ContinuousServer:
                          jnp.full((B, self._buf_len), self.pad_token_id,
                                   jnp.int32),
                          jnp.zeros((B,), jnp.int32))
+
+    def _pin_shared_prefix(self, prefix: tuple) -> None:
+        """(Re)pin the pool to one video's prefix: quantize it ONCE into the
+        SharedPrefixCache layout and rebuild the (empty) pool state around
+        it. Only legal when no slot is occupied."""
+        assert not self._busy()
+        pk, pv, pm = prefix
+        Sp = pk.shape[2]
+        if (Sp + self._prompt_len + self.max_new_tokens
+                + self.chunk * self._toks_per_iter) > self.max_len:
+            raise ValueError(
+                f"prefix ({Sp}) + question bucket + budget overflow the "
+                f"pool's RoPE envelope (max_len={self.max_len}); build the "
+                "server with a larger prefix_len")
+        pkq, pks, pvq, pvs, pmask = _quantize_prefix_hd(pk, pv, pm)
+        lcfg = self.cfg.llm
+        B, Mt = self.pool_size, self._tail_len
+        shape = (lcfg.num_layers, B, lcfg.num_kv_heads, lcfg.head_dim, Mt)
+        sshape = (lcfg.num_layers, B, lcfg.num_kv_heads, 1, Mt)
+        tail = llm_mod.QuantKVCache(
+            jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+            jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+            jnp.zeros((B,), jnp.int32))
+        spc = llm_mod.SharedPrefixCache(pkq, pks, pvq, pvs, pmask, tail)
+        # carry the rng stream across repins so sampled serving doesn't
+        # replay the same stream for every video
+        rng = (self.state.rng if self.state is not None
+               else jax.random.key(self._seed))
+        self.state = PoolState(
+            spc, jnp.zeros((B, Mt), bool), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool), rng,
+            jnp.full((B, self._buf_len), self.pad_token_id, jnp.int32),
+            jnp.zeros((B,), jnp.int32))
+        self._pinned_prefix = prefix
 
     def serve(self, requests: List[Request]) -> List[np.ndarray]:
         """→ per-request generated token arrays (EOS excluded)."""
@@ -535,6 +662,9 @@ class ContinuousServer:
         gk = self.gen_kwargs
         sample_kw = dict(temperature=gk["temperature"], top_p=gk["top_p"],
                          do_sample=gk["do_sample"])
+        if self.shared_prefix:
+            self._admit_shared(pending, emitted, results, sample_kw)
+            return
         while pending:
             free = [s for s in range(self.pool_size)
                     if self._slot_req[s] is None]
@@ -629,6 +759,54 @@ class ContinuousServer:
                     jnp.asarray(i, jnp.int32),
                     jnp.asarray(self.pad_token_id, jnp.int32))
 
+    def _admit_shared(self, pending, emitted, results, sample_kw) -> None:
+        """Admission for the shared-prefix pool: admit pending requests that
+        match the PINNED prefix (same bf16 arrays — requests for one video
+        share the prefix tuple); requests for other videos wait until the
+        pool drains, then the pool repins to the oldest waiter's prefix.
+        Same-video requests may therefore admit ahead of an older
+        different-video request — slot occupancy over strict FIFO, the same
+        trade the lockstep scheduler's video-grouped batches make."""
+        while pending:
+            free = [s for s in range(self.pool_size)
+                    if self._slot_req[s] is None]
+            if not free:
+                return
+            idx = None
+            if self._pinned_prefix is not None:
+                for j, (_, r) in enumerate(pending):
+                    if (r.prefix is not None
+                            and r.prefix[0] is self._pinned_prefix[0]):
+                        idx = j
+                        break
+            if idx is None:
+                if self._busy():
+                    return  # drain first, then repin to pending[0]'s video
+                req0 = pending[0][1]
+                if req0.prefix is None:
+                    raise ValueError(
+                        "shared-prefix pools serve prefix-backed requests "
+                        "only (set Request.prefix)")
+                self._pin_shared_prefix(req0.prefix)
+                idx = 0
+            rid, req = pending.pop(idx)
+            Sq = req.input_ids.shape[1]
+            if (Sq + self.max_new_tokens
+                    + self.chunk * self._toks_per_iter) > self._tail_len:
+                raise ValueError(
+                    f"question bucket ({Sq}) + budget overflow the per-slot "
+                    f"tail (tail_len={self._tail_len}); build the server "
+                    "with a larger prompt_len")
+            slot = free[0]
+            self.state, first = _admit_one_shared(
+                self.params, self.state, self.cfg, req.input_ids,
+                req.attn_mask, *self._pinned_prefix,
+                jnp.asarray(slot, jnp.int32), jnp.asarray(rid, jnp.int32),
+                jnp.asarray(self.pad_token_id, jnp.int32),
+                rope_len=self.max_len, **sample_kw)
+            self._book_first_token(rid, req, slot, int(first), emitted,
+                                   results)
+
     def _run_chunk(self, emitted, results) -> None:
         """One jitted decode chunk over the pool + host-side retirement.
 
@@ -646,6 +824,7 @@ class ContinuousServer:
         else:
             self.state, toks = _decode_chunk(
                 self.params, self.state, self.cfg, deact, chunk=self.chunk,
+                rope_len=self.max_len if self.shared_prefix else None,
                 **self.gen_kwargs)
             toks = np.asarray(toks)
             counts = np.full(self.pool_size, toks.shape[1])
@@ -759,8 +938,9 @@ class ContinuousScheduler:
                 self._results.clear()
                 self.server._slot_req = [None] * self.server.pool_size
                 self.server._slot_cb = [None] * self.server.pool_size
-                self.server.state = self.server.state._replace(
-                    active=self.server.state.active.at[:].set(False))
+                if self.server.state is not None:  # shared pools pin lazily
+                    self.server.state = self.server.state._replace(
+                        active=self.server.state.active.at[:].set(False))
                 continue
             for rid in list(self._results):
                 fut = self._futures.pop(rid, None)

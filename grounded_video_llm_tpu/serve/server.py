@@ -48,12 +48,15 @@ class ServingFrontend:
     def __init__(self, engine: InferenceEngine, pool_size: int = 4,
                  prompt_len: int = 256, max_new_tokens: int = 64,
                  chunk: int = 8, spec_draft_len: int = 0,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, shared_prefix_pool: bool = False):
         g = engine.gen_cfg
         self.engine = engine
         self.prompt_len = prompt_len
         self.max_new_tokens = max_new_tokens
         self.prefix_cache = prefix_cache
+        if shared_prefix_pool and not prefix_cache:
+            raise ValueError("--shared_prefix_pool requires --prefix_cache "
+                             "(every request must be prefix-backed)")
         prefix_len = None
         if prefix_cache:
             # prefix-backed admission (Request.prefix): the pool must also
@@ -73,7 +76,8 @@ class ServingFrontend:
             do_sample=g.do_sample,
             eos_token_id=engine.tokenizer.eos_token_id,
             pad_token_id=engine.tokenizer.pad_token_id,
-            spec_draft_len=spec_draft_len, prefix_len=prefix_len)
+            spec_draft_len=spec_draft_len, prefix_len=prefix_len,
+            shared_prefix=shared_prefix_pool)
         self.scheduler = ContinuousScheduler(self.server)
         self._lock = threading.Lock()  # engine cache + rng aren't thread-safe
 

@@ -214,6 +214,61 @@ def main():
         server2.state = None
         gc.collect()
 
+        # -------- SHARED-PREFIX pool (cascade continuous) -----------------
+        # the plain prefix pool above holds a COPY of the ~3.5k-token prefix
+        # in every slot — decode streams it POOL times per token. The
+        # cascade pool (shared_prefix=True) pins the prefix once at batch
+        # dim 1 (llm.decode_step_shared chunks): decode DMA per token drops
+        # from POOL x (Sp + tail) to Sp + POOL x tail.
+        server3 = ContinuousServer(
+            params, cfg, pool_size=POOL, prompt_len=posts.shape[1],
+            max_new_tokens=MAX_NEW, chunk=CHUNK, eos_token_id=EOS,
+            pad_token_id=PAD, prefix_len=1 + cfg.num_video_tokens,
+            shared_prefix=True)
+        t = time.time()
+        server3.serve([reqs2[0]._replace(max_new_tokens=CHUNK + 1),
+                       reqs2[1]._replace(max_new_tokens=CHUNK + 1)])
+        print(f"shared-prefix pool compile+warmup: {time.time()-t:.1f}s",
+              file=sys.stderr)
+        admit3, chunk3, done3 = [0.0], [0.0], {}
+        ra3, rc3 = server3._admit, server3._run_chunk
+
+        def timed_admit3(pending, emitted, results):
+            before = set(results)
+            t = time.time()
+            ra3(pending, emitted, results)
+            admit3[0] += time.time() - t
+            for rid in set(results) - before:
+                done3[rid] = time.time()
+
+        def timed_chunk3(emitted, results):
+            before = set(results)
+            t = time.time()
+            rc3(emitted, results)
+            chunk3[0] += time.time() - t
+            for rid in set(results) - before:
+                done3[rid] = time.time()
+
+        server3._admit, server3._run_chunk = timed_admit3, timed_chunk3
+        t_start = time.time()
+        outs3 = server3.serve(reqs2)
+        wall3 = time.time() - t_start
+        toks3 = sum(len(o) for o in outs3)
+        lat3 = np.asarray(sorted(done3[i] - t_start for i in range(N)))
+        prefix_stats.update({
+            "prefix_shared_tok_per_sec": round(toks3 / wall3, 2),
+            "prefix_shared_admit_stall_frac": round(admit3[0] / wall3, 3),
+            "prefix_shared_p50_s": round(float(np.percentile(lat3, 50)), 2),
+            "prefix_shared_p95_s": round(float(np.percentile(lat3, 95)), 2),
+        })
+        print(f"prefix-shared-pool: {wall3:.2f}s wall, {toks3} tokens "
+              f"({toks3 / wall3:.1f} tok/s) | admit {admit3[0]:.2f}s "
+              f"({100*admit3[0]/wall3:.0f}%), decode {chunk3[0]:.2f}s | "
+              f"p50 {np.percentile(lat3, 50):.2f}s "
+              f"p95 {np.percentile(lat3, 95):.2f}s", file=sys.stderr)
+        server3.state = None
+        gc.collect()
+
         # -------- prefix-cached LOCKSTEP baseline (same shared prefix) ----
         # isolates the SCHEDULING contribution: both legs pay only the
         # question-chunk prefill, so prefix-continuous ÷ prefix-lockstep is
@@ -261,6 +316,8 @@ def main():
         prefix_stats["prefix_lockstep_tok_per_sec"] = round(best_pl, 2)
         prefix_stats["prefix_sched_only_speedup"] = round(
             prefix_stats["prefix_tok_per_sec"] / best_pl, 3)
+        prefix_stats["prefix_shared_vs_lockstep"] = round(
+            prefix_stats["prefix_shared_tok_per_sec"] / best_pl, 3)
         gc.collect()
 
     # ---------------- lockstep engine ----------------

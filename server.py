@@ -50,6 +50,13 @@ def parse_args():
                    help="prefix-KV admission: repeated videos prefill only "
                         "their question chunk (the shared [system | video "
                         "tokens] head caches per video)")
+    p.add_argument("--shared_prefix_pool", action="store_true",
+                   help="cascade decode pool (requires --prefix_cache): the "
+                        "pinned video prefix is stored once at batch dim 1 "
+                        "and streamed once per token for all slots — the "
+                        "decode DMA win for same-video request batches; "
+                        "requests for a different video wait until the pool "
+                        "drains, then the pool repins")
     p.add_argument("--num_frames", type=int, default=96)
     p.add_argument("--num_segs", type=int, default=12)
     p.add_argument("--tokenizer_path", default="")
@@ -103,7 +110,8 @@ def main():
     frontend = ServingFrontend(
         engine, pool_size=args.pool_size, prompt_len=args.prompt_len,
         max_new_tokens=args.max_new_tokens, chunk=args.chunk,
-        spec_draft_len=args.spec_draft_len, prefix_cache=args.prefix_cache)
+        spec_draft_len=args.spec_draft_len, prefix_cache=args.prefix_cache,
+        shared_prefix_pool=args.shared_prefix_pool)
     httpd = serve_http(frontend, args.host, args.port)
     print(f"serving {cfg.llm_name} on http://{args.host}:{args.port} "
           f"(pool={args.pool_size}, prompt_len={args.prompt_len}, "

@@ -340,3 +340,66 @@ def test_mixed_admission_does_not_mix_programs(micro_model):
     for i, req in enumerate([reqs[0], reqs[1], reqs[2], reqs[3]]):
         want = _reference_greedy(params, cfg, req, max_new)
         np.testing.assert_array_equal(got[i], want), i
+
+
+def test_shared_prefix_pool_matches_plain_prefix_pool(micro_model):
+    """Cascade pool (shared_prefix=True: pinned int8 prefix at batch dim 1,
+    per-slot tails, decode_step_shared chunks) must emit the same greedy
+    tokens as the plain prefix pool for the same (prefix, question) pairs —
+    four same-video requests through two slots exercises mid-stream
+    admission into freed tail rows."""
+    cfg, params = micro_model
+    max_new = 6
+    reqs = _make_requests(cfg, 4)
+    kw = dict(pool_size=2, prompt_len=7, max_new_tokens=max_new, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD, prefix_len=2 + cfg.num_video_tokens)
+    plain = ContinuousServer(params, cfg, **kw)
+    # ONE shared video: every request rides request 0's prefix with its own
+    # question chunk (the repeated-video serving workload)
+    pref = _prefixize(params, cfg, reqs, plain.max_len)
+    qs = [p._replace(prefix=pref[0].prefix) for p in pref]
+    got_plain = plain.serve(qs)
+    cascade = ContinuousServer(params, cfg, shared_prefix=True, **kw)
+    got_shared = cascade.serve(qs)
+    for i, (a, b) in enumerate(zip(got_plain, got_shared)):
+        np.testing.assert_array_equal(a, b), i
+
+
+def test_shared_prefix_pool_repins_across_videos(micro_model):
+    """Requests for two different videos interleaved: the pool admits one
+    video's requests, drains, repins to the other video's prefix — outputs
+    must match the plain prefix pool serving the identical request list."""
+    cfg, params = micro_model
+    reqs = _make_requests(cfg, 4)
+    kw = dict(pool_size=2, prompt_len=7, max_new_tokens=5, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD, prefix_len=2 + cfg.num_video_tokens)
+    plain = ContinuousServer(params, cfg, **kw)
+    pref = _prefixize(params, cfg, reqs, plain.max_len)
+    pa, pb = pref[0].prefix, pref[1].prefix
+    qs = [pref[0], pref[1], pref[2]._replace(prefix=pa),
+          pref[3]._replace(prefix=pb)]
+    got_plain = plain.serve(qs)
+    cascade = ContinuousServer(params, cfg, shared_prefix=True, **kw)
+    got_shared = cascade.serve(qs)
+    for i, (a, b) in enumerate(zip(got_plain, got_shared)):
+        np.testing.assert_array_equal(a, b), i
+
+
+def test_shared_prefix_pool_rejects_unsupported(micro_model):
+    """Construction/admission guards: spec chunks and pixel-backed requests
+    are not supported by the shared-prefix pool."""
+    cfg, params = micro_model
+    kw = dict(pool_size=2, prompt_len=7, max_new_tokens=4, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD)
+    with pytest.raises(ValueError, match="prefix_len"):
+        ContinuousServer(params, cfg, shared_prefix=True, **kw)
+    with pytest.raises(NotImplementedError, match="speculative"):
+        ContinuousServer(params, cfg, shared_prefix=True, spec_draft_len=2,
+                         prefix_len=2 + cfg.num_video_tokens, **kw)
+    server = ContinuousServer(params, cfg, shared_prefix=True,
+                              prefix_len=2 + cfg.num_video_tokens, **kw)
+    with pytest.raises(ValueError, match="prefix-backed"):
+        server.serve(_make_requests(cfg, 1))

@@ -137,10 +137,13 @@ def test_prefix_cache_server_matches_plain(videos):
         feature_cache_size=4)
     body = {"video_path": videos, "prompt": "what happens?", "mode": "qa"}
     texts = {}
-    for name, use_prefix in (("plain", False), ("prefix", True)):
+    for name, use_prefix, shared in (("plain", False, False),
+                                     ("prefix", True, False),
+                                     ("shared", True, True)):
         frontend = ServingFrontend(eng, pool_size=2, prompt_len=256,
                                    max_new_tokens=6, chunk=2,
-                                   prefix_cache=use_prefix)
+                                   prefix_cache=use_prefix,
+                                   shared_prefix_pool=shared)
         httpd = serve_http(frontend, "127.0.0.1", 0)
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
@@ -155,6 +158,9 @@ def test_prefix_cache_server_matches_plain(videos):
             frontend.shutdown()
     assert len(eng._prefix_cache) == 1  # prefix LRU hit on the repeat
     assert texts["prefix"] == texts["plain"]
+    # cascade pool (shared_prefix_pool=True: pinned batch-1 prefix +
+    # per-slot tails) serves the same greedy text through the HTTP path
+    assert texts["shared"] == texts["plain"]
 
 
 def test_bad_requests(http_server):
