@@ -371,11 +371,12 @@ def _decode_chunk(params, state: PoolState, cfg: VLMConfig, deactivate,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "chunk", "draft_len", "temperature",
                               "top_p", "do_sample", "eos_token_id",
-                              "pad_token_id"),
+                              "pad_token_id", "rope_len"),
     donate_argnums=1)
 def _spec_chunk(params, state: PoolState, cfg: VLMConfig, deactivate,
                 *, chunk: int, draft_len: int, temperature: float, top_p,
-                do_sample: bool, eos_token_id: int, pad_token_id: int):
+                do_sample: bool, eos_token_id: int, pad_token_id: int,
+                rope_len: Optional[int] = None):
     """`chunk` speculative verify passes over the pool → (state,
     tokens [B, chunk*(draft_len+1)] compacted per row, counts [B]).
 
@@ -383,11 +384,17 @@ def _spec_chunk(params, state: PoolState, cfg: VLMConfig, deactivate,
     (ngram_draft), verifies all drafts in ONE cache/weight stream
     (llm.verify_step) and commits per-row accepted counts — the per-row
     write bases the multi-slot scatter kernels support make ragged
-    continuous slots and speculative commits the same mechanism."""
+    continuous slots and speculative commits the same mechanism.
+
+    Shared-prefix pools verify through llm.verify_step_shared and commit on
+    the TAIL — the two decode-DMA levers compound (verify amortizes the
+    weight stream across draft_len+1 tokens; the cascade split amortizes
+    the prefix stream across the pool)."""
     from .speculative import ngram_draft, spec_accept_tokens
 
     B = state.cur_token.shape[0]
     state = state._replace(active=state.active & ~deactivate)
+    shared = isinstance(state.cache, llm_mod.SharedPrefixCache)
     S_v = draft_len + 1
     out_w = chunk * S_v
     iidx = jnp.arange(S_v)[None, :]
@@ -401,14 +408,24 @@ def _spec_chunk(params, state: PoolState, cfg: VLMConfig, deactivate,
         inputs = jnp.concatenate([cur, drafts], axis=1)      # [B, S_v]
         token_embeds = llm_mod.embed_lookup(params["llm"]["embed"], inputs)
         positions = st.positions[:, None] + iidx
-        logits, cache = llm_mod.verify_step(
-            params["llm"], cfg.llm, token_embeds, st.cache, st.valid,
-            positions)
+        if shared:
+            logits, cache = llm_mod.verify_step_shared(
+                params["llm"], cfg.llm, token_embeds, st.cache, st.valid,
+                positions, rope_hint=rope_len)
+        else:
+            logits, cache = llm_mod.verify_step(
+                params["llm"], cfg.llm, token_embeds, st.cache, st.valid,
+                positions)
         rng, sub = jax.random.split(st.rng)
         a, emitted = spec_accept_tokens(logits, drafts, sub, temperature,
                                         top_p, do_sample)
-        cache, valid = llm_mod.commit_verify(
-            cache, st.valid, jnp.where(st.active, a, 0), S_v)
+        if shared:
+            tail, valid = llm_mod.commit_verify(
+                cache.tail, st.valid, jnp.where(st.active, a, 0), S_v)
+            cache = cache._replace(tail=tail)
+        else:
+            cache, valid = llm_mod.commit_verify(
+                cache, st.valid, jnp.where(st.active, a, 0), S_v)
         is_eos = (emitted == eos_token_id) & (iidx < a[:, None])
         eos_pos = jnp.min(jnp.where(is_eos, iidx, S_v), axis=-1)
         e = jnp.where(st.active, jnp.minimum(a, eos_pos + 1), 0)
@@ -445,7 +462,8 @@ class ContinuousServer:
                  seed: int = 0, admit_batch: int = 1,
                  spec_draft_len: int = 0,
                  prefix_len: Optional[int] = None,
-                 shared_prefix: bool = False):
+                 shared_prefix: bool = False,
+                 admission_policy: str = "fifo"):
         self.params = params
         self.cfg = cfg
         self.pool_size = pool_size
@@ -464,16 +482,23 @@ class ContinuousServer:
             if prefix_len is None:
                 raise ValueError("shared_prefix pools need prefix_len to "
                                  "size the RoPE hint / fit checks")
-            if spec_draft_len:
-                raise NotImplementedError(
-                    "speculative chunks over a shared-prefix pool are not "
-                    "wired yet (llm.verify_step_shared exists; the pool "
-                    "chunk does not) — use spec_draft_len=0")
             if admit_batch > 1:
                 raise NotImplementedError(
                     "shared-prefix admission is single-request (the fused "
                     "_admit_one_shared program); admit_batch must be 1")
         self._pinned_prefix: Optional[tuple] = None
+        # admission order. "fifo" = arrival order (latency fairness).
+        # "longest_first" = highest DECLARED budget first (LPT makespan
+        # heuristic): long-running requests start early so the pool never
+        # drains down to a few straggler slots at the end — the measured gap
+        # behind the oracle-sorted lockstep baseline (407.6 vs 355.3 tok/s,
+        # BENCH_CONT_PREFIX_r04.txt). Uses the same information that oracle
+        # uses (per-request max_new_tokens), but online: admission picks
+        # from whatever has ARRIVED, no future knowledge. Trades worst-case
+        # short-request latency under backlog for throughput.
+        if admission_policy not in ("fifo", "longest_first"):
+            raise ValueError(f"unknown admission_policy {admission_policy!r}")
+        self.admission_policy = admission_policy
         # speculative chunks (serve/speculative.py): each chunk iteration
         # verifies spec_draft_len prompt-lookup drafts in one cache stream;
         # a row may overshoot its budget within a chunk (retirement is
@@ -662,6 +687,10 @@ class ContinuousServer:
         gk = self.gen_kwargs
         sample_kw = dict(temperature=gk["temperature"], top_p=gk["top_p"],
                          do_sample=gk["do_sample"])
+        if self.admission_policy == "longest_first" and len(pending) > 1:
+            # stable: arrival order breaks budget ties
+            pending.sort(key=lambda it: -(it[1].max_new_tokens
+                                          or self.max_new_tokens))
         if self.shared_prefix:
             self._admit_shared(pending, emitted, results, sample_kw)
             return
@@ -819,7 +848,9 @@ class ContinuousServer:
         if self.spec_draft_len:
             self.state, toks, counts = _spec_chunk(
                 self.params, self.state, self.cfg, deact, chunk=self.chunk,
-                draft_len=self.spec_draft_len, **self.gen_kwargs)
+                draft_len=self.spec_draft_len,
+                rope_len=self.max_len if self.shared_prefix else None,
+                **self.gen_kwargs)
             toks, counts = np.asarray(toks), np.asarray(counts)
         else:
             self.state, toks = _decode_chunk(

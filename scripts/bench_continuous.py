@@ -269,6 +269,58 @@ def main():
         server3.state = None
         gc.collect()
 
+        # -------- shared pool + LONGEST-FIRST admission (LPT) -------------
+        # FIFO admission lets the 256-budget requests start late and drain
+        # the pool at low occupancy; longest-declared-budget-first admission
+        # (the LPT makespan heuristic, using the same declared budgets the
+        # sorted-lockstep oracle sorts by — but online) starts them first.
+        # Same pool shapes → reuses server3's compiled programs.
+        server4 = ContinuousServer(
+            params, cfg, pool_size=POOL, prompt_len=posts.shape[1],
+            max_new_tokens=MAX_NEW, chunk=CHUNK, eos_token_id=EOS,
+            pad_token_id=PAD, prefix_len=1 + cfg.num_video_tokens,
+            shared_prefix=True, admission_policy="longest_first")
+        server4.serve([reqs2[0]._replace(max_new_tokens=CHUNK + 1)])
+        admit4, chunk4, done4 = [0.0], [0.0], {}
+        ra4, rc4 = server4._admit, server4._run_chunk
+
+        def timed_admit4(pending, emitted, results):
+            before = set(results)
+            t = time.time()
+            ra4(pending, emitted, results)
+            admit4[0] += time.time() - t
+            for rid in set(results) - before:
+                done4[rid] = time.time()
+
+        def timed_chunk4(emitted, results):
+            before = set(results)
+            t = time.time()
+            rc4(emitted, results)
+            chunk4[0] += time.time() - t
+            for rid in set(results) - before:
+                done4[rid] = time.time()
+
+        server4._admit, server4._run_chunk = timed_admit4, timed_chunk4
+        t_start = time.time()
+        outs4 = server4.serve(reqs2)
+        wall4 = time.time() - t_start
+        toks4 = sum(len(o) for o in outs4)
+        lat4 = np.asarray(sorted(done4[i] - t_start for i in range(N)))
+        prefix_stats.update({
+            "prefix_shared_lpt_tok_per_sec": round(toks4 / wall4, 2),
+            "prefix_shared_lpt_p50_s": round(float(np.percentile(lat4, 50)),
+                                             2),
+            "prefix_shared_lpt_p95_s": round(float(np.percentile(lat4, 95)),
+                                             2),
+        })
+        print(f"prefix-shared-pool[longest-first]: {wall4:.2f}s wall, "
+              f"{toks4} tokens ({toks4 / wall4:.1f} tok/s) | admit "
+              f"{admit4[0]:.2f}s, decode {chunk4[0]:.2f}s | "
+              f"p50 {np.percentile(lat4, 50):.2f}s "
+              f"p95 {np.percentile(lat4, 95):.2f}s", file=sys.stderr)
+        server4.state = None
+        gc.collect()
+
         # -------- prefix-cached LOCKSTEP baseline (same shared prefix) ----
         # isolates the SCHEDULING contribution: both legs pay only the
         # question-chunk prefill, so prefix-continuous ÷ prefix-lockstep is
@@ -318,6 +370,8 @@ def main():
             prefix_stats["prefix_tok_per_sec"] / best_pl, 3)
         prefix_stats["prefix_shared_vs_lockstep"] = round(
             prefix_stats["prefix_shared_tok_per_sec"] / best_pl, 3)
+        prefix_stats["prefix_shared_lpt_vs_lockstep"] = round(
+            prefix_stats["prefix_shared_lpt_tok_per_sec"] / best_pl, 3)
         gc.collect()
 
     # ---------------- lockstep engine ----------------

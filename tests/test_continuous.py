@@ -388,18 +388,57 @@ def test_shared_prefix_pool_repins_across_videos(micro_model):
 
 
 def test_shared_prefix_pool_rejects_unsupported(micro_model):
-    """Construction/admission guards: spec chunks and pixel-backed requests
-    are not supported by the shared-prefix pool."""
+    """Construction/admission guards: the shared-prefix pool needs
+    prefix_len and serves prefix-backed requests only."""
     cfg, params = micro_model
     kw = dict(pool_size=2, prompt_len=7, max_new_tokens=4, chunk=2,
               temperature=0.0, do_sample=False, eos_token_id=EOS,
               pad_token_id=PAD)
     with pytest.raises(ValueError, match="prefix_len"):
         ContinuousServer(params, cfg, shared_prefix=True, **kw)
-    with pytest.raises(NotImplementedError, match="speculative"):
-        ContinuousServer(params, cfg, shared_prefix=True, spec_draft_len=2,
-                         prefix_len=2 + cfg.num_video_tokens, **kw)
     server = ContinuousServer(params, cfg, shared_prefix=True,
                               prefix_len=2 + cfg.num_video_tokens, **kw)
     with pytest.raises(ValueError, match="prefix-backed"):
         server.serve(_make_requests(cfg, 1))
+
+
+def test_shared_prefix_pool_with_speculative_chunks(micro_model):
+    """Speculative chunks over the CASCADE pool (verify_step_shared + tail
+    commit_verify: the weight stream amortizes across draft_len+1 tokens AND
+    the prefix stream across the pool) still produce lockstep-greedy
+    parity — including a mid-stream admission into a freed tail row."""
+    cfg, params = micro_model
+    max_new = 5
+    reqs = _make_requests(cfg, 3)
+    kw = dict(pool_size=2, prompt_len=7, max_new_tokens=max_new, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD, prefix_len=2 + cfg.num_video_tokens)
+    plain = ContinuousServer(params, cfg, **kw)
+    pref = _prefixize(params, cfg, reqs, plain.max_len)
+    qs = [p._replace(prefix=pref[0].prefix) for p in pref]
+    got_plain = plain.serve(qs)
+    spec = ContinuousServer(params, cfg, shared_prefix=True,
+                            spec_draft_len=2, **kw)
+    got_spec = spec.serve(qs)
+    for i, (a, b) in enumerate(zip(got_plain, got_spec)):
+        np.testing.assert_array_equal(a, b), i
+
+
+def test_longest_first_admission_matches_fifo(micro_model):
+    """admission_policy="longest_first" (LPT makespan heuristic) reorders
+    WHICH request admits first but must not change any request's tokens —
+    ragged budgets through a 2-slot pool, both pool flavors."""
+    cfg, params = micro_model
+    reqs = _make_requests(cfg, 4)
+    budgets = [2, 6, 3, 5]
+    reqs = [r._replace(max_new_tokens=b) for r, b in zip(reqs, budgets)]
+    kw = dict(pool_size=2, prompt_len=10, max_new_tokens=8, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD)
+    fifo = ContinuousServer(params, cfg, **kw).serve(reqs)
+    lpt = ContinuousServer(params, cfg, admission_policy="longest_first",
+                           **kw).serve(reqs)
+    for i, (a, b) in enumerate(zip(fifo, lpt)):
+        np.testing.assert_array_equal(a, b), i
+    with pytest.raises(ValueError, match="admission_policy"):
+        ContinuousServer(params, cfg, admission_policy="shortest", **kw)
