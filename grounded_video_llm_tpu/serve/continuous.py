@@ -463,11 +463,28 @@ class ContinuousServer:
                  spec_draft_len: int = 0,
                  prefix_len: Optional[int] = None,
                  shared_prefix: bool = False,
-                 admission_policy: str = "fifo"):
+                 admission_policy: str = "fifo",
+                 chunk_long: int = 0):
         self.params = params
         self.cfg = cfg
         self.pool_size = pool_size
         self.chunk = chunk
+        # adaptive TAIL chunk: when the queue is empty (no admission could
+        # use a freed slot) and EVERY occupied slot's remaining budget covers
+        # it, dispatch a chunk_long-step program instead of chunk. The
+        # budget gate means a long chunk can never overshoot a row's budget,
+        # so the chunk-sized cache/buffer margins below stay correct; rows
+        # that hit EOS mid-long-chunk idle via the device-side active mask
+        # exactly as in short chunks. 0 disables (the default).
+        #
+        # MEASURED A WASH on this box (BENCH_TAIL_CHUNK_r04.txt: 391.9 vs
+        # 393.5 tok/s same-process at chunk_long=32, 1.004x = noise): chunk
+        # dispatches are enqueued asynchronously, so the per-chunk ~25-30ms
+        # tunnel dispatch already overlaps device execution — the residual
+        # vs the oracle-sorted cascade lockstep is chunk-granularity
+        # retirement + the per-chunk host token fetch, not dispatch count.
+        # Kept opt-in for synchronous-dispatch backends.
+        self.chunk_long = chunk_long if chunk_long > chunk else 0
         # shared-prefix pool (Hydragen/cascade): ONE pinned int8 prefix at
         # batch dim 1 + small per-slot tails. Decode-attention DMA per token
         # drops from B x (Sp + tail) to Sp + B x tail — the measured gap
@@ -609,7 +626,7 @@ class ContinuousServer:
         while pending or self._busy():
             self._admit(pending, emitted, results)
             if self._busy():
-                self._run_chunk(emitted, results)
+                self._run_chunk(emitted, results, tail=not pending)
         return [results.get(i, np.zeros(0, np.int32))
                 for i in range(len(requests))]
 
@@ -836,25 +853,36 @@ class ContinuousServer:
             self._book_first_token(rid, req, slot, int(first), emitted,
                                    results)
 
-    def _run_chunk(self, emitted, results) -> None:
+    def _run_chunk(self, emitted, results, tail: bool = False) -> None:
         """One jitted decode chunk over the pool + host-side retirement.
 
         Ownerless slots ride the chunk's `deactivate` argument: retirement
         needs no standalone device dispatch, the next chunk (or the fused
         admission insert reusing the slot) squares the device's active mask
-        with the host's slot table."""
+        with the host's slot table.
+
+        tail=True (caller's queue is empty) enables the chunk_long program
+        when every occupied slot's remaining budget covers it — see
+        __init__."""
+        chunk = self.chunk
+        if tail and self.chunk_long:
+            budgets = [self._slot_budget[s] for s in range(self.pool_size)
+                       if self._slot_req[s] is not None]
+            if budgets and min(budgets) >= self.chunk_long \
+                    * self._toks_per_iter:
+                chunk = self.chunk_long
         deact = jnp.asarray(
             np.asarray([r is None for r in self._slot_req], bool))
         if self.spec_draft_len:
             self.state, toks, counts = _spec_chunk(
-                self.params, self.state, self.cfg, deact, chunk=self.chunk,
+                self.params, self.state, self.cfg, deact, chunk=chunk,
                 draft_len=self.spec_draft_len,
                 rope_len=self.max_len if self.shared_prefix else None,
                 **self.gen_kwargs)
             toks, counts = np.asarray(toks), np.asarray(counts)
         else:
             self.state, toks = _decode_chunk(
-                self.params, self.state, self.cfg, deact, chunk=self.chunk,
+                self.params, self.state, self.cfg, deact, chunk=chunk,
                 rope_len=self.max_len if self.shared_prefix else None,
                 **self.gen_kwargs)
             toks = np.asarray(toks)
@@ -954,7 +982,11 @@ class ContinuousScheduler:
             try:
                 self.server._admit(pending, self._emitted, self._results)
                 if self.server._busy():
-                    self.server._run_chunk(self._emitted, self._results)
+                    # tail only when nothing is waiting anywhere — a long
+                    # chunk would delay the next admission otherwise
+                    self.server._run_chunk(
+                        self._emitted, self._results,
+                        tail=not pending and self._queue.empty())
             except Exception as e:  # noqa: BLE001 — propagate to callers
                 for rid, fut in list(self._futures.items()):
                     if not fut.done():

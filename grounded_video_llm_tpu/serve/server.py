@@ -48,7 +48,8 @@ class ServingFrontend:
     def __init__(self, engine: InferenceEngine, pool_size: int = 4,
                  prompt_len: int = 256, max_new_tokens: int = 64,
                  chunk: int = 8, spec_draft_len: int = 0,
-                 prefix_cache: bool = False, shared_prefix_pool: bool = False):
+                 prefix_cache: bool = False, shared_prefix_pool: bool = False,
+                 chunk_long: int = 0):
         g = engine.gen_cfg
         self.engine = engine
         self.prompt_len = prompt_len
@@ -77,7 +78,7 @@ class ServingFrontend:
             eos_token_id=engine.tokenizer.eos_token_id,
             pad_token_id=engine.tokenizer.pad_token_id,
             spec_draft_len=spec_draft_len, prefix_len=prefix_len,
-            shared_prefix=shared_prefix_pool)
+            shared_prefix=shared_prefix_pool, chunk_long=chunk_long)
         self.scheduler = ContinuousScheduler(self.server)
         self._lock = threading.Lock()  # engine cache + rng aren't thread-safe
 

@@ -109,10 +109,10 @@ def main():
         for rid in set(results) - before:
             done_at[rid] = time.time()
 
-    def timed_chunk(emitted, results):
+    def timed_chunk(emitted, results, **kw):
         before = set(results)
         t = time.time()
-        real_chunk(emitted, results)
+        real_chunk(emitted, results, **kw)
         chunk_t[0] += time.time() - t
         for rid in set(results) - before:
             done_at[rid] = time.time()
@@ -186,10 +186,10 @@ def main():
             for rid in set(results) - before:
                 done2[rid] = time.time()
 
-        def timed_chunk2(emitted, results):
+        def timed_chunk2(emitted, results, **kw):
             before = set(results)
             t = time.time()
-            rc(emitted, results)
+            rc(emitted, results, **kw)
             chunk2[0] += time.time() - t
             for rid in set(results) - before:
                 done2[rid] = time.time()
@@ -241,10 +241,10 @@ def main():
             for rid in set(results) - before:
                 done3[rid] = time.time()
 
-        def timed_chunk3(emitted, results):
+        def timed_chunk3(emitted, results, **kw):
             before = set(results)
             t = time.time()
-            rc3(emitted, results)
+            rc3(emitted, results, **kw)
             chunk3[0] += time.time() - t
             for rid in set(results) - before:
                 done3[rid] = time.time()
@@ -292,10 +292,10 @@ def main():
             for rid in set(results) - before:
                 done4[rid] = time.time()
 
-        def timed_chunk4(emitted, results):
+        def timed_chunk4(emitted, results, **kw):
             before = set(results)
             t = time.time()
-            rc4(emitted, results)
+            rc4(emitted, results, **kw)
             chunk4[0] += time.time() - t
             for rid in set(results) - before:
                 done4[rid] = time.time()
@@ -319,6 +319,66 @@ def main():
               f"p50 {np.percentile(lat4, 50):.2f}s "
               f"p95 {np.percentile(lat4, 95):.2f}s", file=sys.stderr)
         server4.state = None
+        gc.collect()
+
+        # -------- + adaptive TAIL chunk (chunk_long) ----------------------
+        # amortizes the per-chunk dispatch 4x over the straggler tail when
+        # every in-flight budget covers the long chunk. MEASURED A WASH
+        # same-process (1.004x, BENCH_TAIL_CHUNK_r04.txt / the focused
+        # scripts/bench_tail_chunk.py): async enqueue already overlaps the
+        # dispatch. Leg kept for regression tracking on other backends.
+        CHUNK_LONG = int(os.environ.get("BENCH_CHUNK_LONG", "32"))
+        server5 = ContinuousServer(
+            params, cfg, pool_size=POOL, prompt_len=posts.shape[1],
+            max_new_tokens=MAX_NEW, chunk=CHUNK, eos_token_id=EOS,
+            pad_token_id=PAD, prefix_len=1 + cfg.num_video_tokens,
+            shared_prefix=True, admission_policy="longest_first",
+            chunk_long=CHUNK_LONG)
+        t = time.time()
+        # warm the long-chunk program too: one lone request whose budget
+        # covers a long chunk decodes through the tail path
+        server5.serve([reqs2[0]._replace(
+            max_new_tokens=CHUNK_LONG + CHUNK + 1)])
+        print(f"chunk_long warmup: {time.time()-t:.1f}s", file=sys.stderr)
+        admit5, chunk5, done5 = [0.0], [0.0], {}
+        ra5, rc5 = server5._admit, server5._run_chunk
+
+        def timed_admit5(pending, emitted, results):
+            before = set(results)
+            t = time.time()
+            ra5(pending, emitted, results)
+            admit5[0] += time.time() - t
+            for rid in set(results) - before:
+                done5[rid] = time.time()
+
+        def timed_chunk5(emitted, results, **kw):
+            before = set(results)
+            t = time.time()
+            rc5(emitted, results, **kw)
+            chunk5[0] += time.time() - t
+            for rid in set(results) - before:
+                done5[rid] = time.time()
+
+        server5._admit, server5._run_chunk = timed_admit5, timed_chunk5
+        t_start = time.time()
+        outs5 = server5.serve(reqs2)
+        wall5 = time.time() - t_start
+        toks5 = sum(len(o) for o in outs5)
+        lat5 = np.asarray(sorted(done5[i] - t_start for i in range(N)))
+        prefix_stats.update({
+            "prefix_shared_lpt_tail_tok_per_sec": round(toks5 / wall5, 2),
+            "prefix_shared_lpt_tail_p50_s": round(
+                float(np.percentile(lat5, 50)), 2),
+            "prefix_shared_lpt_tail_p95_s": round(
+                float(np.percentile(lat5, 95)), 2),
+            "chunk_long": CHUNK_LONG,
+        })
+        print(f"prefix-shared-pool[longest-first+chunk_long{CHUNK_LONG}]: "
+              f"{wall5:.2f}s wall, {toks5} tokens ({toks5 / wall5:.1f} "
+              f"tok/s) | admit {admit5[0]:.2f}s, decode {chunk5[0]:.2f}s | "
+              f"p50 {np.percentile(lat5, 50):.2f}s "
+              f"p95 {np.percentile(lat5, 95):.2f}s", file=sys.stderr)
+        server5.state = None
         gc.collect()
 
         # -------- prefix-cached LOCKSTEP baseline (same shared prefix) ----
@@ -372,6 +432,10 @@ def main():
             prefix_stats["prefix_shared_tok_per_sec"] / best_pl, 3)
         prefix_stats["prefix_shared_lpt_vs_lockstep"] = round(
             prefix_stats["prefix_shared_lpt_tok_per_sec"] / best_pl, 3)
+        if "prefix_shared_lpt_tail_tok_per_sec" in prefix_stats:
+            prefix_stats["prefix_shared_lpt_tail_vs_lockstep"] = round(
+                prefix_stats["prefix_shared_lpt_tail_tok_per_sec"]
+                / best_pl, 3)
         gc.collect()
 
     # ---------------- lockstep engine ----------------

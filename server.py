@@ -45,6 +45,11 @@ def parse_args():
     p.add_argument("--chunk", type=int, default=8,
                    help="decode chunk between admission checks (latency = "
                         "chunk x ms/token)")
+    p.add_argument("--chunk_long", type=int, default=0,
+                   help="adaptive tail chunk: when the queue is empty and "
+                        "every in-flight request's remaining budget covers "
+                        "it, decode in chunks of this size (amortizes "
+                        "per-chunk dispatch over the straggler tail); 0 off")
     p.add_argument("--spec_draft_len", type=int, default=0)
     p.add_argument("--prefix_cache", action="store_true",
                    help="prefix-KV admission: repeated videos prefill only "
@@ -111,7 +116,8 @@ def main():
         engine, pool_size=args.pool_size, prompt_len=args.prompt_len,
         max_new_tokens=args.max_new_tokens, chunk=args.chunk,
         spec_draft_len=args.spec_draft_len, prefix_cache=args.prefix_cache,
-        shared_prefix_pool=args.shared_prefix_pool)
+        shared_prefix_pool=args.shared_prefix_pool,
+        chunk_long=args.chunk_long)
     httpd = serve_http(frontend, args.host, args.port)
     print(f"serving {cfg.llm_name} on http://{args.host}:{args.port} "
           f"(pool={args.pool_size}, prompt_len={args.prompt_len}, "

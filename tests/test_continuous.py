@@ -442,3 +442,50 @@ def test_longest_first_admission_matches_fifo(micro_model):
         np.testing.assert_array_equal(a, b), i
     with pytest.raises(ValueError, match="admission_policy"):
         ContinuousServer(params, cfg, admission_policy="shortest", **kw)
+
+
+def test_tail_chunk_long_matches_short_chunks(micro_model):
+    """chunk_long (adaptive tail chunk) amortizes per-chunk dispatch over
+    the straggler tail; greedy outputs must be bit-identical to the plain
+    chunk=2 pool — per-step math is unchanged, only the fori_loop trip
+    count differs. Budgets straddle the gate (one row's remaining budget
+    falls below chunk_long mid-run, forcing a short-chunk finish)."""
+    cfg, params = micro_model
+    reqs = _make_requests(cfg, 3)
+    budgets = [3, 8, 8]
+    reqs = [r._replace(max_new_tokens=b) for r, b in zip(reqs, budgets)]
+    kw = dict(pool_size=2, prompt_len=10, max_new_tokens=8, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD)
+    base = ContinuousServer(params, cfg, **kw).serve(reqs)
+    tailed = ContinuousServer(params, cfg, chunk_long=4, **kw)
+    got = tailed.serve(reqs)
+    for i, (a, b) in enumerate(zip(base, got)):
+        np.testing.assert_array_equal(a, b), i
+    # chunk_long <= chunk is a no-op, not an error
+    assert ContinuousServer(params, cfg, chunk_long=2, **kw).chunk_long == 0
+
+
+def test_tail_chunk_long_with_shared_prefix_and_spec(micro_model):
+    """chunk_long composes with the cascade pool and speculative chunks
+    (the long _spec_chunk program commits at most chunk_long*(draft+1)
+    tokens, covered by the same budget gate)."""
+    cfg, params = micro_model
+    max_new = 8
+    reqs = _make_requests(cfg, 3)
+    kw = dict(pool_size=2, prompt_len=7, max_new_tokens=max_new, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD, prefix_len=2 + cfg.num_video_tokens)
+    plain = ContinuousServer(params, cfg, **kw)
+    pref = _prefixize(params, cfg, reqs, plain.max_len)
+    qs = [p._replace(prefix=pref[0].prefix) for p in pref]
+    got_plain = plain.serve(qs)
+    cascade = ContinuousServer(params, cfg, shared_prefix=True,
+                               chunk_long=4, **kw)
+    got_cascade = cascade.serve(qs)
+    spec = ContinuousServer(params, cfg, shared_prefix=True,
+                            spec_draft_len=2, chunk_long=3, **kw)
+    got_spec = spec.serve(qs)
+    for i, (a, b, c) in enumerate(zip(got_plain, got_cascade, got_spec)):
+        np.testing.assert_array_equal(a, b), i
+        np.testing.assert_array_equal(a, c), i
