@@ -464,7 +464,8 @@ class ContinuousServer:
                  prefix_len: Optional[int] = None,
                  shared_prefix: bool = False,
                  admission_policy: str = "fifo",
-                 chunk_long: int = 0):
+                 chunk_long: int = 0,
+                 pipeline_chunks: bool = False):
         self.params = params
         self.cfg = cfg
         self.pool_size = pool_size
@@ -477,14 +478,27 @@ class ContinuousServer:
         # that hit EOS mid-long-chunk idle via the device-side active mask
         # exactly as in short chunks. 0 disables (the default).
         #
-        # MEASURED A WASH on this box (BENCH_TAIL_CHUNK_r04.txt: 391.9 vs
-        # 393.5 tok/s same-process at chunk_long=32, 1.004x = noise): chunk
-        # dispatches are enqueued asynchronously, so the per-chunk ~25-30ms
-        # tunnel dispatch already overlaps device execution — the residual
-        # vs the oracle-sorted cascade lockstep is chunk-granularity
-        # retirement + the per-chunk host token fetch, not dispatch count.
-        # Kept opt-in for synchronous-dispatch backends.
+        # MEASURED A WASH on the ragged LPT mix (BENCH_TAIL_CHUNK_r04.txt:
+        # 391.9 vs 393.5 tok/s, 1.004x) — but NOT because sync is free: the
+        # all-rows-covered gate almost never fires there (a freshly admitted
+        # short-budget row is nearly always present). The uniform-budget
+        # control (scripts/bench_chunk_sync.py, BENCH_CHUNK_SYNC_r04.txt)
+        # shows pool-wide chunk32 beats chunk8 by 1.16x = ~24.5ms of host
+        # sync per chunk (the tunnel round trip of the token fetch). The
+        # general fix for that cost is pipeline_chunks below, which helps
+        # every chunk regardless of the budget mix; chunk_long stays for
+        # uniform-budget workloads where its gate actually fires.
         self.chunk_long = chunk_long if chunk_long > chunk else 0
+        # PIPELINED chunk loop: dispatch chunk k+1 BEFORE fetching chunk k's
+        # tokens, so the ~25ms/chunk host sync (np.asarray token fetch over
+        # the tunnel) overlaps device execution of the next chunk. Cost:
+        # retirement and admission lag ONE chunk (a budget-exhausted row can
+        # decode up to 2*chunk garbage steps before its deactivate lands →
+        # the cache/buffer margins double), and a freed slot re-admits one
+        # chunk later. Greedy outputs are bit-identical — rows are
+        # independent under the active mask, and per-row math does not
+        # depend on when other rows admit or retire.
+        self.pipeline = pipeline_chunks
         # shared-prefix pool (Hydragen/cascade): ONE pinned int8 prefix at
         # batch dim 1 + small per-slot tails. Decode-attention DMA per token
         # drops from B x (Sp + tail) to Sp + B x tail — the measured gap
@@ -547,16 +561,21 @@ class ContinuousServer:
         # pre-image text + num_video_tokens) to size the pool for it.
         head = (prefix_len + prompt_len if prefix_len is not None
                 else prompt_len - 1 + cfg.num_video_tokens)
+        # overshoot margin: a budget-exhausted row decodes up to one chunk of
+        # garbage before host retirement lands (two chunks when the
+        # pipelined loop delays retirement by one chunk) — the cache/buffer
+        # tails must absorb those writes
+        self._chunk_margin = ((2 if pipeline_chunks else 1)
+                              * chunk * self._toks_per_iter)
         self.max_len = -(-(head + max_new_tokens
-                           + chunk * self._toks_per_iter) // 128) * 128
+                           + self._chunk_margin) // 128) * 128
         # shared-prefix pools size the per-slot TAIL separately (question
         # bucket + budget + chunk margin); max_len stays the equivalent
         # single-cache size for RoPE-factor parity with the plain pool
         self._tail_len = -(-(prompt_len + max_new_tokens
-                             + chunk * self._toks_per_iter) // 128) * 128
+                             + self._chunk_margin) // 128) * 128
         self._prompt_len = prompt_len
-        self._buf_len = (prompt_len + max_new_tokens
-                         + chunk * self._toks_per_iter)
+        self._buf_len = (prompt_len + max_new_tokens + self._chunk_margin)
         self._seed = seed
         # shared-prefix state is assembled at first admission (the prefix
         # shapes come with the request); state is None until then
@@ -590,7 +609,7 @@ class ContinuousServer:
         pk, pv, pm = prefix
         Sp = pk.shape[2]
         if (Sp + self._prompt_len + self.max_new_tokens
-                + self.chunk * self._toks_per_iter) > self.max_len:
+                + self._chunk_margin) > self.max_len:
             raise ValueError(
                 f"prefix ({Sp}) + question bucket + budget overflow the "
                 f"pool's RoPE envelope (max_len={self.max_len}); build the "
@@ -623,10 +642,23 @@ class ContinuousServer:
         pending = [(i, self.stage_request(requests[i]))
                    for i in range(len(requests))]
 
-        while pending or self._busy():
-            self._admit(pending, emitted, results)
-            if self._busy():
-                self._run_chunk(emitted, results, tail=not pending)
+        if self.pipeline:
+            inflight = None
+            while pending or self._busy() or inflight is not None:
+                self._admit(pending, emitted, results)
+                # dispatch chunk k+1 BEFORE fetching chunk k's tokens: the
+                # token fetch (a ~25ms tunnel round trip, measured
+                # BENCH_CHUNK_SYNC_r04.txt) overlaps device execution
+                nxt = (self._dispatch_chunk(tail=not pending)
+                       if self._busy() else None)
+                if inflight is not None:
+                    self._process_chunk(inflight, emitted, results)
+                inflight = nxt
+        else:
+            while pending or self._busy():
+                self._admit(pending, emitted, results)
+                if self._busy():
+                    self._run_chunk(emitted, results, tail=not pending)
         return [results.get(i, np.zeros(0, np.int32))
                 for i in range(len(requests))]
 
@@ -669,7 +701,7 @@ class ContinuousServer:
     def _check_prefix_fit(self, prefix, Sq: int) -> None:
         Sp = prefix[0].shape[2]
         if Sp + Sq + self.max_new_tokens \
-                + self.chunk * self._toks_per_iter > self.max_len:
+                + self._chunk_margin > self.max_len:
             raise ValueError(
                 f"prefix ({Sp}) + question bucket ({Sq}) + budget "
                 f"overflow the pool cache (max_len={self.max_len}); "
@@ -838,7 +870,7 @@ class ContinuousServer:
             rid, req = pending.pop(idx)
             Sq = req.input_ids.shape[1]
             if (Sq + self.max_new_tokens
-                    + self.chunk * self._toks_per_iter) > self._tail_len:
+                    + self._chunk_margin) > self._tail_len:
                 raise ValueError(
                     f"question bucket ({Sq}) + budget overflow the per-slot "
                     f"tail (tail_len={self._tail_len}); build the server "

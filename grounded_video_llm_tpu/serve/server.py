@@ -99,7 +99,7 @@ class ServingFrontend:
             # request through the scheduler's pool-reset error path
             Sp = req.prefix[0].shape[2]
             need = (Sp + self.prompt_len + self.max_new_tokens
-                    + self.server.chunk * self.server._toks_per_iter)
+                    + self.server._chunk_margin)
             if need > self.server.max_len:
                 raise ValueError(
                     f"prefix ({Sp} slots) + question bucket "
