@@ -60,6 +60,17 @@ class PoolState(NamedTuple):
     ptr: jnp.ndarray                # [B_pool] int32
 
 
+class _InflightChunk(NamedTuple):
+    """A dispatched-but-unfetched decode chunk (pipeline_chunks=True): the
+    device token arrays plus the DISPATCH-time slot→request snapshot that
+    _process_chunk attributes them with (the live slot table may have moved
+    on by the time the fetch lands)."""
+    toks: jax.Array                   # [B_pool, chunk*toks_per_iter] device
+    counts: Optional[jax.Array]       # [B_pool] device (spec) / None
+    slot_req: tuple                   # slot → rid at dispatch
+    slot_cb: tuple                    # slot → on_token at dispatch
+
+
 class Request(NamedTuple):
     input_ids: np.ndarray           # [S] left-padded, one IMAGE_TOKEN_INDEX
     attn_mask: np.ndarray           # [S]
@@ -559,6 +570,7 @@ class ContinuousServer:
         # prefix-backed admission (Request.prefix) the prefix occupies its
         # own slots BEFORE the question bucket, so pass prefix_len (= Sp =
         # pre-image text + num_video_tokens) to size the pool for it.
+        self._prefix_len = prefix_len  # warmup() sizes its dummy prefix
         head = (prefix_len + prompt_len if prefix_len is not None
                 else prompt_len - 1 + cfg.num_video_tokens)
         # overshoot margin: a budget-exhausted row decodes up to one chunk of
@@ -583,6 +595,9 @@ class ContinuousServer:
         self._slot_req: List[Optional[int]] = [None] * pool_size
         self._slot_budget = [0] * pool_size
         self._slot_cb: List[Optional[object]] = [None] * pool_size
+        # size of the most recently dispatched chunk — the pipelined
+        # chunk_long gate's staleness allowance (see _dispatch_chunk)
+        self._last_dispatch_chunk = chunk
 
     def _init_state(self, seed: int) -> PoolState:
         lcfg = self.cfg.llm
@@ -634,6 +649,87 @@ class ContinuousServer:
             jnp.full((B, self._buf_len), self.pad_token_id, jnp.int32),
             jnp.zeros((B,), jnp.int32))
         self._pinned_prefix = prefix
+
+    def warmup(self, kind: Optional[str] = None) -> None:
+        """Pre-compile the pool's device programs so live serving never pays
+        a 20-160s remote compile mid-request: the fused admission program
+        for `kind` ("prefix", "feats", or "pixels"; None = the server's
+        configured default — prefix-backed for prefix_len pools,
+        feature-backed otherwise) via one dummy budget-1 request, then the
+        decode/verify chunk program and — when chunk_long is set — the
+        long-chunk program, dispatched directly over an all-inactive pool
+        with the LIVE static arguments (eos/pad/temperature are jit statics:
+        warming with substitutes would compile the wrong program).
+
+        Call BEFORE serving real traffic: the pool state is re-initialized
+        afterwards (the dummy programs donate the old state's buffers), so a
+        warmed server starts exactly like a fresh one. Requires an idle
+        pool."""
+        assert not self._busy(), "warmup() needs an idle pool"
+        from ..text.templates import IMAGE_TOKEN_INDEX
+
+        if kind is None:
+            kind = "prefix" if self._prefix_len is not None else "feats"
+        lcfg = self.cfg.llm
+        try:
+            ids = np.full((self._prompt_len,), 3, np.int32)
+            mask = np.ones((self._prompt_len,), np.int32)
+            req = Request(ids, mask, None, None, max_new_tokens=1)
+            if kind == "prefix":
+                Sp = self._prefix_len
+                if Sp is None:
+                    raise ValueError("prefix warmup needs prefix_len")
+                pk = jnp.zeros((lcfg.num_layers, 1, Sp, lcfg.num_kv_heads,
+                                lcfg.head_dim), jnp.bfloat16)
+                req = req._replace(prefix=(pk, pk, jnp.ones((1, Sp),
+                                                            jnp.int32)))
+            elif kind == "feats":
+                ids[1] = IMAGE_TOKEN_INDEX
+                req = req._replace(features=np.zeros(
+                    (self.cfg.num_video_tokens, lcfg.hidden_size),
+                    np.float32))
+            elif kind == "pixels":
+                ids[1] = IMAGE_TOKEN_INDEX
+                req = req._replace(
+                    spatial_pixels=np.zeros(
+                        (self.cfg.num_segs, 336, 336, 3), np.float32),
+                    temporal_pixels=np.zeros(
+                        (self.cfg.num_frames, 224, 224, 3), np.float32))
+            else:
+                raise ValueError(f"unknown warmup kind {kind!r}")
+            # budget-1 admission: warms the fused admission program in one
+            # dispatch and retires immediately (no chunk dependency on what
+            # token the model happens to emit)
+            self.serve([req])
+
+            # chunk programs, dispatched over an all-deactivated pool (the
+            # dummy row above already retired; inactive rows make the
+            # programs semantically no-ops) with the live statics
+            deact = jnp.ones((self.pool_size,), bool)
+            rope_len = self.max_len if self.shared_prefix else None
+            state, out = self.state, None
+            for ch in ([self.chunk] + ([self.chunk_long]
+                                       if self.chunk_long else [])):
+                if self.spec_draft_len:
+                    state, out, _ = _spec_chunk(
+                        self.params, state, self.cfg, deact, chunk=ch,
+                        draft_len=self.spec_draft_len, rope_len=rope_len,
+                        **self.gen_kwargs)
+                else:
+                    state, out = _decode_chunk(
+                        self.params, state, self.cfg, deact, chunk=ch,
+                        rope_len=rope_len, **self.gen_kwargs)
+            np.asarray(out)  # block until compiled + executed
+        finally:
+            # the dummy programs donated the pool state's buffers — start
+            # from a clean slate (identical to a fresh server)
+            self._pinned_prefix = None
+            self.state = (None if self.shared_prefix
+                          else self._init_state(self._seed))
+            self._slot_req = [None] * self.pool_size
+            self._slot_budget = [0] * self.pool_size
+            self._slot_cb = [None] * self.pool_size
+            self._last_dispatch_chunk = self.chunk
 
     def serve(self, requests: List[Request]) -> List[np.ndarray]:
         """→ per-request generated token arrays (EOS excluded)."""
@@ -886,7 +982,16 @@ class ContinuousServer:
                                    results)
 
     def _run_chunk(self, emitted, results, tail: bool = False) -> None:
-        """One jitted decode chunk over the pool + host-side retirement.
+        """One jitted decode chunk over the pool + host-side retirement
+        (dispatch + immediate host fetch — the unpipelined composition of
+        _dispatch_chunk/_process_chunk)."""
+        self._process_chunk(self._dispatch_chunk(tail=tail), emitted,
+                            results)
+
+    def _dispatch_chunk(self, tail: bool = False) -> "_InflightChunk":
+        """Dispatch one jitted decode chunk over the pool WITHOUT fetching
+        its tokens — the device arrays plus a dispatch-time snapshot of the
+        slot table come back as an _InflightChunk for _process_chunk.
 
         Ownerless slots ride the chunk's `deactivate` argument: retirement
         needs no standalone device dispatch, the next chunk (or the fused
@@ -900,7 +1005,12 @@ class ContinuousServer:
         if tail and self.chunk_long:
             budgets = [self._slot_budget[s] for s in range(self.pool_size)
                        if self._slot_req[s] is not None]
-            if budgets and min(budgets) >= self.chunk_long \
+            # pipelined loops see budgets STALE by one unprocessed chunk
+            # (retirement bookkeeping lags dispatch) — widen the gate by the
+            # inflight chunk's worst-case consumption so a long chunk still
+            # never overshoots a row's budget
+            stale = self._last_dispatch_chunk if self.pipeline else 0
+            if budgets and min(budgets) >= (self.chunk_long + stale) \
                     * self._toks_per_iter:
                 chunk = self.chunk_long
         deact = jnp.asarray(
@@ -911,23 +1021,42 @@ class ContinuousServer:
                 draft_len=self.spec_draft_len,
                 rope_len=self.max_len if self.shared_prefix else None,
                 **self.gen_kwargs)
-            toks, counts = np.asarray(toks), np.asarray(counts)
         else:
             self.state, toks = _decode_chunk(
                 self.params, self.state, self.cfg, deact, chunk=chunk,
                 rope_len=self.max_len if self.shared_prefix else None,
                 **self.gen_kwargs)
-            toks = np.asarray(toks)
-            counts = np.full(self.pool_size, toks.shape[1])
+            counts = None
+        self._last_dispatch_chunk = chunk
+        return _InflightChunk(toks, counts, tuple(self._slot_req),
+                              tuple(self._slot_cb))
+
+    def _process_chunk(self, inflight: "_InflightChunk", emitted,
+                       results) -> None:
+        """Fetch an inflight chunk's tokens to host (the blocking ~25ms
+        tunnel round trip) and run retirement bookkeeping. In the pipelined
+        loop the NEXT chunk is already dispatched, so the fetch overlaps its
+        device execution.
+
+        Attribution uses the DISPATCH-time slot snapshot, skipping slots the
+        live table no longer assigns to the snapshot rid: a row that
+        finished after dispatch (budget exhausted in the previous chunk —
+        its retirement lags into this one) freed its slot, and rids are
+        never reused, so `_slot_req[slot] == rid` holds exactly for
+        non-stale rows (works under the scheduler too, which pops resolved
+        rids from `results`)."""
+        toks = np.asarray(inflight.toks)
+        counts = (np.asarray(inflight.counts) if inflight.counts is not None
+                  else np.full(self.pool_size, toks.shape[1]))
         for slot in range(self.pool_size):
-            rid = self._slot_req[slot]
-            if rid is None:
+            rid = inflight.slot_req[slot]
+            if rid is None or self._slot_req[slot] != rid:
                 continue
             # every token up to and including an EOS is real (the device
             # only pads AFTER in-chunk EOS deactivation — lockstep — or
             # compacts per-row counts — speculative; the break below stops
             # before any pads are read)
-            cb = self._slot_cb[slot]
+            cb = inflight.slot_cb[slot]
             for t in toks[slot][:counts[slot]]:
                 t = int(t)
                 done = t == self.eos_token_id
@@ -1003,22 +1132,32 @@ class ContinuousScheduler:
     def _loop(self) -> None:
         pending: list = []
         alive = True
+        inflight = None  # pipeline_chunks: chunk dispatched, tokens unfetched
         while self._running and alive:
             # block for work only when fully idle
-            alive = self._drain(pending, block=not (pending
-                                                    or self.server._busy()))
+            alive = self._drain(pending, block=not (
+                pending or self.server._busy() or inflight is not None))
             while alive and not self._queue.empty():
                 alive = self._drain(pending, block=False)
-            if not (pending or self.server._busy()):
+            if not (pending or self.server._busy() or inflight is not None):
                 continue
             try:
                 self.server._admit(pending, self._emitted, self._results)
-                if self.server._busy():
+                tail = not pending and self._queue.empty()
+                if self.server.pipeline:
+                    # dispatch chunk k+1 BEFORE fetching chunk k's tokens:
+                    # the blocking token fetch overlaps device execution
+                    nxt = (self.server._dispatch_chunk(tail=tail)
+                           if self.server._busy() else None)
+                    if inflight is not None:
+                        self.server._process_chunk(inflight, self._emitted,
+                                                   self._results)
+                    inflight = nxt
+                elif self.server._busy():
                     # tail only when nothing is waiting anywhere — a long
                     # chunk would delay the next admission otherwise
-                    self.server._run_chunk(
-                        self._emitted, self._results,
-                        tail=not pending and self._queue.empty())
+                    self.server._run_chunk(self._emitted, self._results,
+                                           tail=tail)
             except Exception as e:  # noqa: BLE001 — propagate to callers
                 for rid, fut in list(self._futures.items()):
                     if not fut.done():
@@ -1031,6 +1170,7 @@ class ContinuousScheduler:
                 pending.clear()
                 self._emitted.clear()
                 self._results.clear()
+                inflight = None  # its snapshot rids no longer have futures
                 self.server._slot_req = [None] * self.server.pool_size
                 self.server._slot_cb = [None] * self.server.pool_size
                 if self.server.state is not None:  # shared pools pin lazily

@@ -49,7 +49,8 @@ class ServingFrontend:
                  prompt_len: int = 256, max_new_tokens: int = 64,
                  chunk: int = 8, spec_draft_len: int = 0,
                  prefix_cache: bool = False, shared_prefix_pool: bool = False,
-                 chunk_long: int = 0):
+                 chunk_long: int = 0, pipeline_chunks: bool = False,
+                 warmup: Optional[bool] = None):
         g = engine.gen_cfg
         self.engine = engine
         self.prompt_len = prompt_len
@@ -78,7 +79,16 @@ class ServingFrontend:
             eos_token_id=engine.tokenizer.eos_token_id,
             pad_token_id=engine.tokenizer.pad_token_id,
             spec_draft_len=spec_draft_len, prefix_len=prefix_len,
-            shared_prefix=shared_prefix_pool, chunk_long=chunk_long)
+            shared_prefix=shared_prefix_pool, chunk_long=chunk_long,
+            pipeline_chunks=pipeline_chunks)
+        # pre-compile the pool's programs at startup rather than inside the
+        # first live requests (chunk_long is the sharp edge: its program
+        # would otherwise first compile mid-request when the tail gate
+        # fires, a 20-160s stall). Default: warm whenever chunk_long is set;
+        # pass True/False to force.
+        if warmup if warmup is not None else chunk_long > 0:
+            self.server.warmup(
+                kind="prefix" if prefix_cache else "feats")
         self.scheduler = ContinuousScheduler(self.server)
         self._lock = threading.Lock()  # engine cache + rng aren't thread-safe
 

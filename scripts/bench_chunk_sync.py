@@ -9,8 +9,13 @@ chunk=8 vs chunk=32 POOL-WIDE from the first step (two plain servers, no
 adaptive gate). 4x fewer _decode_chunk dispatches + np.asarray token fetches
 for identical device work — any gap is pure per-chunk host-sync overhead.
 
-Interleaved A/B/A/B, same-process (box-drift rule). Also reports the long
-chunks actually RUN by each server (sanity: 30 vs ~8 per request wave).
+A third leg serves chunk=8 with pipeline_chunks=True (dispatch chunk k+1
+before fetching chunk k's tokens): if the chunk8→chunk32 gap really is
+host sync, the pipelined chunk8 server should recover most of it WITHOUT
+giving up chunk-8 admission/retirement granularity.
+
+Interleaved A/B/P/A/B/P, same-process (box-drift rule). Also reports the
+chunk dispatches actually RUN by each server.
 
 Usage: python scripts/bench_chunk_sync.py [pool] [budget]
 """
@@ -61,14 +66,21 @@ def main():
     feats = jnp.zeros((1, cfg.num_video_tokens, cfg.llm.hidden_size),
                       jnp.bfloat16)
 
-    def make_server(chunk):
+    def make_server(chunk, pipeline=False):
+        # identical max_new_tokens for every server (NOT BUDGET+chunk): the
+        # chunk-margin term differs per flavor, and after 128-rounding a
+        # mismatched max_len would give one leg a different RoPE envelope
+        # (or a _pin_shared_prefix ValueError) — the caches must match
         return ContinuousServer(
             params, cfg, pool_size=POOL, prompt_len=posts.shape[1],
-            max_new_tokens=BUDGET + chunk, chunk=chunk, eos_token_id=EOS,
+            max_new_tokens=BUDGET + 32, chunk=chunk, eos_token_id=EOS,
             pad_token_id=PAD, prefix_len=1 + cfg.num_video_tokens,
-            shared_prefix=True)
+            shared_prefix=True, pipeline_chunks=pipeline)
 
     s8, s32 = make_server(8), make_server(32)
+    sp8 = make_server(8, pipeline=True)
+    assert s8.max_len == s32.max_len == sp8.max_len, \
+        (s8.max_len, s32.max_len, sp8.max_len)
     prefix = build_prefix_kv(params, cfg, pre_arr, jnp.ones_like(pre_arr),
                              feats, s8.max_len)
     jax.block_until_ready(prefix)
@@ -76,24 +88,24 @@ def main():
                     max_new_tokens=BUDGET, prefix=prefix)
             for i in range(POOL)]
 
-    for s, name in ((s8, "chunk8"), (s32, "chunk32")):
+    for s, name in ((s8, "chunk8"), (s32, "chunk32"), (sp8, "pipe8")):
         t = time.time()
         s.serve([reqs[0]._replace(max_new_tokens=s.chunk + 1)])
         print(f"{name} compile+warmup: {time.time()-t:.1f}s", file=sys.stderr)
 
     def run(server, label):
         nchunks = [0]
-        real = server._run_chunk
+        real = server._dispatch_chunk
 
-        def counting(emitted, results, **kw):
+        def counting(**kw):
             nchunks[0] += 1
-            real(emitted, results, **kw)
+            return real(**kw)
 
-        server._run_chunk = counting
+        server._dispatch_chunk = counting
         t_start = time.time()
         outs = server.serve(list(reqs))
         wall = time.time() - t_start
-        server._run_chunk = real
+        server._dispatch_chunk = real
         toks = sum(len(o) for o in outs)
         print(f"{label}: {wall:.2f}s wall, {toks} tokens "
               f"({toks / wall:.1f} tok/s), {nchunks[0]} chunk dispatches "
@@ -102,17 +114,21 @@ def main():
 
     a1 = run(s8, "uniform[chunk8]  pass1")
     b1 = run(s32, "uniform[chunk32] pass1")
+    p1 = run(sp8, "uniform[pipe8]   pass1")
     a2 = run(s8, "uniform[chunk8]  pass2")
     b2 = run(s32, "uniform[chunk32] pass2")
+    p2 = run(sp8, "uniform[pipe8]   pass2")
 
     import json
 
-    a, b = max(a1, a2), max(b1, b2)
+    a, b, p = max(a1, a2), max(b1, b2), max(p1, p2)
     print(json.dumps({
         "metric": "cascade_pool_chunk_sync_tok_per_sec",
         "chunk8": round(a, 2), "chunk32": round(b, 2),
-        "speedup": round(b / a, 3),
-        "passes": [round(x, 2) for x in (a1, b1, a2, b2)],
+        "pipe8": round(p, 2),
+        "chunk32_speedup": round(b / a, 3),
+        "pipe8_speedup": round(p / a, 3),
+        "passes": [round(x, 2) for x in (a1, b1, p1, a2, b2, p2)],
     }))
 
 

@@ -51,6 +51,14 @@ def parse_args():
                         "it, decode in chunks of this size (amortizes "
                         "per-chunk dispatch over the straggler tail); 0 off")
     p.add_argument("--spec_draft_len", type=int, default=0)
+    p.add_argument("--pipeline_chunks", action="store_true",
+                   help="dispatch chunk k+1 before fetching chunk k's "
+                        "tokens: the per-chunk host sync overlaps device "
+                        "execution (retirement/admission lag one chunk)")
+    p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="pre-compile the pool's programs at startup "
+                        "(default: on when --chunk_long is set)")
     p.add_argument("--prefix_cache", action="store_true",
                    help="prefix-KV admission: repeated videos prefill only "
                         "their question chunk (the shared [system | video "
@@ -117,7 +125,8 @@ def main():
         max_new_tokens=args.max_new_tokens, chunk=args.chunk,
         spec_draft_len=args.spec_draft_len, prefix_cache=args.prefix_cache,
         shared_prefix_pool=args.shared_prefix_pool,
-        chunk_long=args.chunk_long)
+        chunk_long=args.chunk_long, pipeline_chunks=args.pipeline_chunks,
+        warmup=args.warmup)
     httpd = serve_http(frontend, args.host, args.port)
     print(f"serving {cfg.llm_name} on http://{args.host}:{args.port} "
           f"(pool={args.pool_size}, prompt_len={args.prompt_len}, "

@@ -489,3 +489,102 @@ def test_tail_chunk_long_with_shared_prefix_and_spec(micro_model):
     for i, (a, b, c) in enumerate(zip(got_plain, got_cascade, got_spec)):
         np.testing.assert_array_equal(a, b), i
         np.testing.assert_array_equal(a, c), i
+
+
+def test_pipelined_chunks_match_unpipelined(micro_model):
+    """pipeline_chunks=True (dispatch chunk k+1 before fetching chunk k's
+    tokens — the token fetch overlaps device execution) must be greedy
+    bit-identical to the plain loop: rows are independent under the active
+    mask, and the one-chunk retirement/admission lag only changes WHEN a
+    slot turns over, never any row's math. Ragged budgets force retirement
+    lag + slot reuse through the pipelined path."""
+    cfg, params = micro_model
+    reqs = _make_requests(cfg, 4)
+    budgets = [2, 6, 3, 5]
+    reqs = [r._replace(max_new_tokens=b) for r, b in zip(reqs, budgets)]
+    kw = dict(pool_size=2, prompt_len=10, max_new_tokens=8, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD)
+    base = ContinuousServer(params, cfg, **kw).serve(reqs)
+    piped = ContinuousServer(params, cfg, pipeline_chunks=True, **kw)
+    assert piped._chunk_margin == 2 * 2  # doubled overshoot margin
+    got = piped.serve(reqs)
+    for i, (a, b) in enumerate(zip(base, got)):
+        np.testing.assert_array_equal(a, b), i
+
+
+def test_pipelined_composes_with_cascade_spec_and_chunk_long(micro_model):
+    """pipeline_chunks composes with the shared-prefix pool, speculative
+    chunks, and the adaptive tail chunk (whose budget gate widens by the
+    inflight chunk's staleness) — all bit-identical to the plain prefix
+    pool."""
+    cfg, params = micro_model
+    max_new = 8
+    reqs = _make_requests(cfg, 3)
+    kw = dict(pool_size=2, prompt_len=7, max_new_tokens=max_new, chunk=2,
+              temperature=0.0, do_sample=False, eos_token_id=EOS,
+              pad_token_id=PAD, prefix_len=2 + cfg.num_video_tokens)
+    plain = ContinuousServer(params, cfg, **kw)
+    pref = _prefixize(params, cfg, reqs, plain.max_len)
+    qs = [p._replace(prefix=pref[0].prefix) for p in pref]
+    got_plain = plain.serve(qs)
+    piped = ContinuousServer(params, cfg, shared_prefix=True,
+                             pipeline_chunks=True, chunk_long=3, **kw)
+    got_piped = piped.serve(qs)
+    spec = ContinuousServer(params, cfg, shared_prefix=True,
+                            pipeline_chunks=True, spec_draft_len=2, **kw)
+    got_spec = spec.serve(qs)
+    for i, (a, b, c) in enumerate(zip(got_plain, got_piped, got_spec)):
+        np.testing.assert_array_equal(a, b), i
+        np.testing.assert_array_equal(a, c), i
+
+
+def test_pipelined_scheduler_matches_reference(micro_model):
+    """The threaded scheduler's pipelined loop (inflight chunk carried
+    across iterations) resolves futures to the same greedy outputs."""
+    from grounded_video_llm_tpu.serve.continuous import ContinuousScheduler
+
+    cfg, params = micro_model
+    reqs = _make_requests(cfg, 3)
+    server = ContinuousServer(params, cfg, pool_size=2, prompt_len=10,
+                              max_new_tokens=5, chunk=2,
+                              temperature=0.0, do_sample=False,
+                              eos_token_id=EOS, pad_token_id=PAD,
+                              pipeline_chunks=True)
+    sched = ContinuousScheduler(server)
+    try:
+        futs = [sched.submit(r) for r in reqs]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        sched.shutdown()
+    for req, out in zip(reqs, outs):
+        want = _reference_greedy(params, cfg, req, 5)
+        np.testing.assert_array_equal(out, want)
+
+
+def test_warmup_is_transparent(micro_model):
+    """warmup() pre-compiles the pool's programs (admission + chunk +
+    chunk_long) and must leave the server indistinguishable from a fresh
+    one — identical greedy outputs, plain and cascade flavors."""
+    cfg, params = micro_model
+    reqs = _make_requests(cfg, 2)
+    kw = dict(pool_size=2, prompt_len=10, max_new_tokens=6, chunk=2,
+              chunk_long=4, temperature=0.0, do_sample=False,
+              eos_token_id=EOS, pad_token_id=PAD)
+    base = ContinuousServer(params, cfg, **kw).serve(reqs)
+    warmed = ContinuousServer(params, cfg, **kw)
+    warmed.warmup(kind="pixels")
+    np.testing.assert_array_equal(base[0], warmed.serve(reqs)[0])
+
+    pkw = dict(pool_size=2, prompt_len=7, max_new_tokens=6, chunk=2,
+               temperature=0.0, do_sample=False, eos_token_id=EOS,
+               pad_token_id=PAD, prefix_len=2 + cfg.num_video_tokens)
+    plain = ContinuousServer(params, cfg, **pkw)
+    pref = _prefixize(params, cfg, reqs, plain.max_len)
+    qs = [p._replace(prefix=pref[0].prefix) for p in pref]
+    got_plain = plain.serve(qs)
+    cascade = ContinuousServer(params, cfg, shared_prefix=True, **pkw)
+    cascade.warmup()  # default kind: prefix-backed
+    got = cascade.serve(qs)
+    for i, (a, b) in enumerate(zip(got_plain, got)):
+        np.testing.assert_array_equal(a, b), i
