@@ -64,6 +64,15 @@ QUANTIZE_CACHE = QUANTIZE  # int8 KV cache, per-position-head scales
 # encoder GEMMs (int8 MXU, scripts/microbench_int8_gemm.py). BENCH_QUANT_ENC=0
 # to disable.
 QUANTIZE_ENCODERS = os.environ.get("BENCH_QUANT_ENC", "1") == "1"
+# Static calibrated activation scales for the encoder's fc2/proj legs
+# (serve/calibrate.py): skips the dynamic per-row absmax HBM passes — fc2's
+# measured ~7 ms/block on the 1.8GB gelu output (MICROBENCH_IV2_r04.txt).
+# BENCH_STATIC_SCALES=0 reverts to dynamic activations;
+# BENCH_STATIC_LEGS=fc2,proj,fc1,qkv widens the leg set.
+STATIC_SCALES = (QUANTIZE_ENCODERS
+                 and os.environ.get("BENCH_STATIC_SCALES", "1") == "1")
+STATIC_LEGS = tuple(
+    os.environ.get("BENCH_STATIC_LEGS", "fc2,proj").split(","))
 # BENCH_SPEC=<draft_len> routes decode through speculative verify passes
 # (0 = off). Random-weight benches have ~0 n-gram acceptance, so this is a
 # worst-case-overhead probe, not the headline path.
@@ -156,8 +165,10 @@ def main():
         if QUANTIZE_ENCODERS:
             # W8A8 prefill only under the full-int8 mode: plain int8 stays
             # weight-only (prefill dequantizes per-GEMM)
+            acts = (f"static {'/'.join(STATIC_LEGS)} scales, dynamic rest"
+                    if STATIC_SCALES else "dynamic activations")
             mode += (" + W8A8 prefill GEMMs"
-                     " + W8A8 encoders (dynamic activations)")
+                     f" + W8A8 encoders ({acts})")
         print(f"serving mode: {mode}", file=sys.stderr)
     else:
         # one jitted program → one compile, not per-initializer dispatch
@@ -165,6 +176,20 @@ def main():
             k, cfg, dtype=jnp.bfloat16))(jax.random.key(0))
     jax.block_until_ready(params)
     print(f"param init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if STATIC_SCALES:
+        # calibrate per-block static activation scales on one batch of
+        # uint8 pixels (random weights + representative pixel range is
+        # mechanically valid for the PERF figure; the accuracy verdict is
+        # eval.py --quantize_ab --static_scales on real checkpoints)
+        from grounded_video_llm_tpu.serve.calibrate import calibrate_and_apply
+        t0 = time.time()
+        calib_px = np.random.default_rng(7).integers(
+            0, 256, size=(1, cfg.num_frames, 224, 224, 3)).astype(np.uint8)
+        params = calibrate_and_apply(params, cfg, [calib_px],
+                                     legs=STATIC_LEGS)
+        print(f"static-scale calibration ({','.join(STATIC_LEGS)}): "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
 
     B, S = BATCH, 64
     rng = np.random.default_rng(0)

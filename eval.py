@@ -66,6 +66,12 @@ def parse_args():
                         "the first --ab_items eval items and enforce the "
                         "committed thresholds (serve/quant_ab.py); exits 1 "
                         "on failure")
+    p.add_argument("--static_scales", action="store_true",
+                   help="with --quantize_ab: calibrate static W8A8 "
+                        "activation scales (serve/calibrate.py, fc2+proj) on "
+                        "the A/B items' own pixels before the quant leg — "
+                        "the accuracy bar then covers the static-scale "
+                        "serving mode bench.py uses")
     p.add_argument("--ab_items", type=int, default=4)
     p.add_argument("--ab_max_new_tokens", type=int, default=32)
     p.add_argument("--ab_max_kl", type=float, default=None)
@@ -158,14 +164,32 @@ def run_quantize_ab(args, cfg) -> int:
         thr["min_top1"] = args.ab_min_top1
     if args.ab_min_greedy is not None:
         thr["min_greedy"] = args.ab_min_greedy
+    def build_quant():
+        p2 = build_params(cfg, quantize=quant, **kw)
+        if quant == "int8_full":
+            # match bench.py's serving mode: int8_full = int8 LLM + W8A8
+            # encoders — the bar must judge the tree that actually serves
+            from grounded_video_llm_tpu.serve.quantize import (
+                quantize_clip_for_serving, quantize_video_encoder_for_serving)
+            p2 = dict(p2)
+            p2["video_encoder"] = quantize_video_encoder_for_serving(
+                p2["video_encoder"])
+            p2["clip"] = quantize_clip_for_serving(p2["clip"])
+        if args.static_scales:
+            from grounded_video_llm_tpu.serve.calibrate import \
+                calibrate_and_apply
+            p2 = calibrate_and_apply(p2, cfg, [temporal])
+        return p2
+
     report = quant_ab.run_quant_ab(
-        holder["p"], lambda: build_params(cfg, quantize=quant, **kw), cfg,
+        holder["p"], build_quant, cfg,
         ids, mask, spatial, temporal,
         max_new_tokens=args.ab_max_new_tokens,
         eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id,
         free_bf16=free_bf16, **thr)
     result = {"mode": "quantize_ab", "llm": args.llm, "quantize": quant,
+              "static_scales": bool(args.static_scales),
               "n_items": len(items), "report": report}
     print(json.dumps(result))
     if args.out:
@@ -217,7 +241,8 @@ def main():
         params, cfg, tokenizer,
         GenerateConfig(max_new_tokens=args.max_new_tokens, do_sample=False,
                        temperature=0.0),
-        quantize=args.quantize or None, prefix_cache=args.prefix_cache)
+        quantize=args.quantize or None, prefix_cache=args.prefix_cache,
+        static_scales=args.static_scales)
 
     annos = load_annotations(args.anno_path, args.anno_format)
     runner = {"grounding": eval_grounding, "gqa": eval_gqa,

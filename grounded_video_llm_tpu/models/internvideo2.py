@@ -310,3 +310,75 @@ def features(params, cfg: InternVideo2Config, pixels: jnp.ndarray) -> jnp.ndarra
         x, _ = jax.lax.scan(body, x,
                             jnp.arange(cfg.num_blocks_used, dtype=jnp.int32))
     return x
+
+
+def _block_absmax(x, bp, cfg: InternVideo2Config):
+    """_block's unfused math + per-channel absmax of each GEMM's INPUT
+    (the calibration recorder for serve/calibrate.py's static activation
+    scales). Runs whatever weight form `bp` holds (bf16 or W8A8 dicts) so
+    the recorded maxima match the serving numerics that will consume them."""
+    B, S, D = x.shape
+    H = cfg.num_heads
+    Dh = cfg.head_dim
+
+    def amax(t):
+        return jnp.max(jnp.abs(t.astype(jnp.float32)), axis=(0, 1))
+
+    stats = {}
+    h = rms_norm(x, bp["norm1_w"], cfg.rms_eps)
+    stats["qkv"] = amax(h)
+    qkv = matmul_any(h, bp["qkv_kernel"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if cfg.qk_normalization:
+        q = rms_norm(q, bp["q_norm_w"], cfg.rms_eps)
+        k = rms_norm(k, bp["k_norm_w"], cfg.rms_eps)
+    q = q.reshape(B, S, H, Dh)
+    k = k.reshape(B, S, H, Dh)
+    v = v.reshape(B, S, H, Dh)
+    attn = mha(q, k, v, causal=False,
+               bounded_softmax=cfg.qk_normalization).reshape(B, S, D)
+    stats["proj"] = amax(attn)
+    attn = matmul_any(attn, bp["proj"]["kernel"]) + bp["proj"]["bias"]
+    x = x + layer_scale(attn, bp["ls1"])
+
+    h = rms_norm(x, bp["norm2_w"], cfg.rms_eps)
+    stats["fc1"] = amax(h)
+    h = jax.nn.gelu(matmul_any(h, bp["fc1"]["kernel"]) + bp["fc1"]["bias"],
+                    approximate=False)
+    stats["fc2"] = amax(h)
+    h = matmul_any(h, bp["fc2"]["kernel"]) + bp["fc2"]["bias"]
+    return x + layer_scale(h, bp["ls2"]), stats
+
+
+def features_absmax(params, cfg: InternVideo2Config, pixels: jnp.ndarray):
+    """features() that ALSO returns per-block per-channel input absmaxes
+    {"qkv"/"proj"/"fc1" [Lyr_used, D], "fc2" [Lyr_used, mlp_hidden]} — the
+    calibration pass for static W8A8 activation scales (serve/calibrate.py).
+    Not a serving path: one extra fp32 reduce per GEMM input."""
+    x = patch_embed(params, cfg, pixels)
+    B = x.shape[0]
+    dtype = x.dtype
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                           (B, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(dtype)
+
+    blocks = params["blocks"]
+    n_total = blocks["norm1_w"].shape[0]
+    if cfg.num_blocks_used == n_total:
+        def body(h, bp):
+            return _block_absmax(h, bp, cfg)
+
+        x, stats = jax.lax.scan(body, x, blocks)
+    else:
+        def body(h, i):
+            bp = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                       keepdims=False),
+                blocks)
+            return _block_absmax(h, bp, cfg)
+
+        x, stats = jax.lax.scan(body, x,
+                                jnp.arange(cfg.num_blocks_used,
+                                           dtype=jnp.int32))
+    return x, stats

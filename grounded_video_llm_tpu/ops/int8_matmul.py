@@ -61,10 +61,39 @@ def dynamic_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
     return (y.astype(jnp.float32) * xs * w_scale).astype(x.dtype)
 
 
+def static_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
+                       w_scale: jnp.ndarray,
+                       x_scale: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 matmul with a CALIBRATED static activation scale (scalar, from
+    serve/calibrate.py): skips dynamic_int8_matmul's per-row absmax pass.
+
+    Why it matters: the dynamic path reads the full activation tensor twice
+    (rowmax, then scale+round) before the dot. For the encoder's fc2 the
+    input is the ~1.8GB gelu output — those two passes measured ~7 ms/block
+    (MICROBENCH_IV2_r04.txt). With a static scale the quantize is a pure
+    elementwise chain that XLA fuses into the PRODUCER's epilogue (fc1's
+    dot → bias → gelu → round-to-int8 in one fusion), so the bf16 gelu
+    output never round-trips HBM at all. Accuracy is coarser than per-row
+    dynamic (one scale per tensor per block) — gated by serve/quant_ab.py's
+    committed bar; clipping saturates at ±127 like the reference's int8
+    serving schemes."""
+    xs = jnp.maximum(x_scale.astype(jnp.float32), 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                  -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, w_q, (((xq.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * xs * w_scale).astype(x.dtype)
+
+
 def matmul_any(x: jnp.ndarray, kernel) -> jnp.ndarray:
     """x @ kernel where kernel is a dense array or a {"q","scale"} W8A8 pair
-    (encoder serving quantization, serve/quantize.py)."""
+    (encoder serving quantization, serve/quantize.py). An "x_scale" entry
+    (serve/calibrate.apply_static_scales) selects the static-activation-scale
+    path — no per-row absmax passes."""
     if isinstance(kernel, dict):
+        if "x_scale" in kernel:
+            return static_int8_matmul(x, kernel["q"], kernel["scale"],
+                                      kernel["x_scale"])
         return dynamic_int8_matmul(x, kernel["q"], kernel["scale"])
     return x @ kernel
 

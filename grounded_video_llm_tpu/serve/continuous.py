@@ -493,12 +493,13 @@ class ContinuousServer:
         # 391.9 vs 393.5 tok/s, 1.004x) — but NOT because sync is free: the
         # all-rows-covered gate almost never fires there (a freshly admitted
         # short-budget row is nearly always present). The uniform-budget
-        # control (scripts/bench_chunk_sync.py, BENCH_CHUNK_SYNC_r04.txt)
-        # shows pool-wide chunk32 beats chunk8 by 1.16x = ~24.5ms of host
+        # control (scripts/bench_chunk_sync.py, BENCH_CHUNK_SYNC_r05.txt)
+        # shows pool-wide chunk32 beats chunk8 by 1.17x = ~31ms of host
         # sync per chunk (the tunnel round trip of the token fetch). The
-        # general fix for that cost is pipeline_chunks below, which helps
-        # every chunk regardless of the budget mix; chunk_long stays for
-        # uniform-budget workloads where its gate actually fires.
+        # general fix for that cost is pipeline_chunks below — measured
+        # 1.28x over plain chunk8 and ABOVE chunk32 (542.7 vs 494.8 tok/s,
+        # same process) — it helps every chunk regardless of the budget mix;
+        # chunk_long stays for uniform-budget workloads where its gate fires.
         self.chunk_long = chunk_long if chunk_long > chunk else 0
         # PIPELINED chunk loop: dispatch chunk k+1 BEFORE fetching chunk k's
         # tokens, so the ~25ms/chunk host sync (np.asarray token fetch over
@@ -743,8 +744,8 @@ class ContinuousServer:
             while pending or self._busy() or inflight is not None:
                 self._admit(pending, emitted, results)
                 # dispatch chunk k+1 BEFORE fetching chunk k's tokens: the
-                # token fetch (a ~25ms tunnel round trip, measured
-                # BENCH_CHUNK_SYNC_r04.txt) overlaps device execution
+                # token fetch (a ~31ms tunnel round trip; 1.28x measured,
+                # BENCH_CHUNK_SYNC_r05.txt) overlaps device execution
                 nxt = (self._dispatch_chunk(tail=not pending)
                        if self._busy() else None)
                 if inflight is not None:

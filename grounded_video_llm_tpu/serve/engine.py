@@ -45,7 +45,8 @@ class InferenceEngine:
                  seed: int = 42, param_dtype=None,
                  quantize: Optional[str] = None,
                  feature_cache_size: int = 8,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False,
+                 static_scales: bool = False):
         if quantize in ("int8", "int8_full"):
             # opt-in int8 serving (serve/quantize.py): merges any LoRA overlay
             # first, then quantizes the decoder projections. "int8" is
@@ -80,6 +81,12 @@ class InferenceEngine:
                 params["clip"] = _jax.jit(quantize_clip_for_serving)(
                     params["clip"])
         self.params = params
+        # static W8A8 activation scales (serve/calibrate.py): calibrated
+        # LAZILY on the FIRST video's real pixels, before the first encode
+        # program compiles — skips the dynamic per-row quant HBM passes
+        # (fc2's measured ~7 ms/block). Requires int8_full (W8A8 encoders).
+        self._static_scales_pending = bool(static_scales
+                                           and quantize == "int8_full")
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.gen_cfg = gen_cfg or GenerateConfig()
@@ -133,6 +140,21 @@ class InferenceEngine:
         return np.uint8 if pixels.dtype == np.uint8 else \
             embed_dtype(self.params["llm"]["embed"])
 
+    def _maybe_calibrate(self, temporal: np.ndarray) -> None:
+        """First-video static-scale calibration (constructor opt-in): record
+        activation maxima on these real pixels and swap the encoder tree to
+        static x_scales BEFORE the first encode program compiles (the tree
+        swap changes the jit cache key, so calibrating later would pay a
+        second remote compile)."""
+        if not self._static_scales_pending:
+            return
+        self._static_scales_pending = False
+        from .calibrate import calibrate_and_apply
+
+        batch = temporal if temporal.ndim == 5 else temporal[None]
+        self.params = calibrate_and_apply(self.params, self.cfg,
+                                          [np.asarray(batch)])
+
     # -- feature cache (encode once per unique video) -----------------------
 
     def encode_features(self, temporal: np.ndarray,
@@ -143,6 +165,7 @@ class InferenceEngine:
         individually — one compiled program, no per-batch-size buckets."""
         from ..models.vlm import encode_video_jit
 
+        self._maybe_calibrate(temporal)
         dtype = self._pixel_dtype(temporal)
         feats = encode_video_jit(self.params, self.cfg,
                                  jnp.asarray(spatial[None], dtype),
@@ -187,6 +210,7 @@ class InferenceEngine:
         input_ids, attn_mask = pad_batch_generate(
             seqs, self.tokenizer.pad_token_id, self.cfg.max_txt_len)
 
+        self._maybe_calibrate(temporal)
         self._rng, sub = jax.random.split(self._rng)
         dtype = self._pixel_dtype(temporal)
         if g.num_beams > 1:

@@ -88,7 +88,11 @@ def test_eval_driver_quantize_ab(demo_video, tmp_path):
     thresholds are overridden via the recalibration flags — this smoke
     covers the driver path, the KL bar, and the override plumbing; the
     COMMITTED agreement bars are for real-weight runs (margins exist) and
-    are exercised on the synthetic pipeline above."""
+    are exercised on the synthetic pipeline above.
+
+    --static_scales makes the quant leg the FULL headline serving tree:
+    int8 LLM + W8A8 encoders + calibrated static activation scales
+    (serve/calibrate.py) — the bar now judges exactly what bench.py runs."""
     anno = [{"video": os.path.basename(demo_video), "query": "a car drives",
              "start": 1.0, "end": 5.0}]
     anno_path = tmp_path / "annos.json"
@@ -99,7 +103,8 @@ def test_eval_driver_quantize_ab(demo_video, tmp_path):
         [sys.executable, "eval.py", "--benchmark", "grounding",
          "--anno_path", str(anno_path), "--anno_format", "json",
          "--video_root", os.path.dirname(demo_video),
-         "--quantize", "int8_full", "--quantize_ab", "--ab_items", "1",
+         "--quantize", "int8_full", "--quantize_ab", "--static_scales",
+         "--ab_items", "1",
          "--ab_max_new_tokens", "4", "--allow_random_weights",
          "--debug_tiny", "--ab_min_top1", "0.5", "--ab_min_greedy", "0.0",
          "--out", str(out_path)],
