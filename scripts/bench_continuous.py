@@ -381,6 +381,62 @@ def main():
         server5.state = None
         gc.collect()
 
+        # -------- + PIPELINED chunk loop (dispatch k+1 before fetch k) ----
+        # the r4 residual attribution (370.2 vs 409.7 oracle lockstep) named
+        # the per-chunk host token fetch; pipeline_chunks overlaps it with
+        # device execution (uniform-budget control measured 1.28x,
+        # BENCH_CHUNK_SYNC_r05.txt). Same pool shapes (margin 2x chunk stays
+        # within the 128 rounding) → reuses the compiled programs.
+        server6 = ContinuousServer(
+            params, cfg, pool_size=POOL, prompt_len=posts.shape[1],
+            max_new_tokens=MAX_NEW, chunk=CHUNK, eos_token_id=EOS,
+            pad_token_id=PAD, prefix_len=1 + cfg.num_video_tokens,
+            shared_prefix=True, admission_policy="longest_first",
+            pipeline_chunks=True)
+        assert server6.max_len == server2.max_len, (
+            server6.max_len, server2.max_len)
+        server6.serve([reqs2[0]._replace(max_new_tokens=CHUNK + 1),
+                       reqs2[1]._replace(max_new_tokens=CHUNK + 1)])
+        admit6, done6 = [0.0], {}
+        ra6, rp6 = server6._admit, server6._process_chunk
+
+        def timed_admit6(pending, emitted, results):
+            before = set(results)
+            t = time.time()
+            ra6(pending, emitted, results)
+            admit6[0] += time.time() - t
+            for rid in set(results) - before:
+                done6[rid] = time.time()
+
+        def timed_process6(inflight, emitted, results):
+            before = set(results)
+            rp6(inflight, emitted, results)
+            for rid in set(results) - before:
+                done6[rid] = time.time()
+
+        server6._admit, server6._process_chunk = timed_admit6, timed_process6
+        t_start = time.time()
+        outs6 = server6.serve(reqs2)
+        wall6 = time.time() - t_start
+        toks6 = sum(len(o) for o in outs6)
+        for i in range(N):
+            np.testing.assert_array_equal(outs6[i], outs4[i])
+        lat6 = np.asarray(sorted(done6[i] - t_start for i in range(N)))
+        prefix_stats.update({
+            "prefix_shared_lpt_pipe_tok_per_sec": round(toks6 / wall6, 2),
+            "prefix_shared_lpt_pipe_p50_s": round(
+                float(np.percentile(lat6, 50)), 2),
+            "prefix_shared_lpt_pipe_p95_s": round(
+                float(np.percentile(lat6, 95)), 2),
+        })
+        print(f"prefix-shared-pool[longest-first+pipeline]: {wall6:.2f}s "
+              f"wall, {toks6} tokens ({toks6 / wall6:.1f} tok/s, outputs == "
+              f"non-pipelined) | admit {admit6[0]:.2f}s | "
+              f"p50 {np.percentile(lat6, 50):.2f}s "
+              f"p95 {np.percentile(lat6, 95):.2f}s", file=sys.stderr)
+        server6.state = None
+        gc.collect()
+
         # -------- prefix-cached LOCKSTEP baseline (same shared prefix) ----
         # isolates the SCHEDULING contribution: both legs pay only the
         # question-chunk prefill, so prefix-continuous ÷ prefix-lockstep is
