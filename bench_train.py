@@ -16,6 +16,19 @@ Env knobs:
                              full-forward-loss programs at the first batch
                              point (adds two remote compiles) and print the
                              phase table encode / llm fwd / bwd+opt.
+  BENCH_TRAIN_BWD=1          decompose the bwd+opt phase: times (a) the
+                             value_and_grad program without the optimizer
+                             (opt_s = step_s - grad_s), (b) one flash layer's
+                             fwd and fwd+bwd at the spliced length (x L =
+                             flash-bwd share), (c) the chunked-CE fwd and
+                             fwd+bwd incl. lm_head dW. Implies PHASES for the
+                             recompute estimate. ~5 extra remote compiles.
+  BENCH_TRAIN_LOADER=1       real-decode input-pipeline overlap: build
+                             MixGrounded over bench.py's synthesized videos,
+                             run the measured steps consuming DataLoader's
+                             prefetched batches, report loader-stall %
+                             (time blocked in next(it) / wall). The training
+                             analogue of bench.py's pipelined-host proof.
 
 Prints ONE JSON line:
   {"metric": "train_s_per_sample", "value": ..., "unit": "s/sample",
@@ -126,7 +139,9 @@ def main():
                                                    make_train_step)
 
     batches = _batches()
-    phases_on = os.environ.get("BENCH_TRAIN_PHASES") == "1"
+    bwd_on = os.environ.get("BENCH_TRAIN_BWD") == "1"
+    loader_on = os.environ.get("BENCH_TRAIN_LOADER") == "1"
+    phases_on = os.environ.get("BENCH_TRAIN_PHASES") == "1" or bwd_on
     print(f"devices: {jax.devices()}  batches={batches} phases={phases_on}",
           file=sys.stderr)
     stage = STAGE_PRESETS["grounded"]
@@ -264,6 +279,203 @@ def main():
                 phases["step_s"] = round(step_s, 3)
             print(f"phases (B={B}): {phases}", file=sys.stderr)
 
+    bwd = None
+    if bwd_on and "step_s" in points[0]:
+        # ---- decompose the bwd+opt phase (VERDICT r4 task 3) ----
+        # Every leg is its own compiled program at the REAL grounded shape,
+        # measured with the fetch-one-element barrier. Attribution:
+        #   grad_s            value_and_grad(trainable) — fwd + bwd, no opt
+        #   opt_s             step_s - grad_s (AdamW update + apply + gnorm)
+        #   bwd_s             grad_s - forward_loss_s
+        #   flash legs        one decoder layer's flash fwd / fwd+bwd at the
+        #                     spliced S; x num_layers = the flash share
+        #   ce legs           chunked-CE fwd / fwd+bwd (incl. lm_head dW) from
+        #                     hidden states
+        #   recompute_est     llm_fwd_s - ce_fwd_s (remat re-runs the decoder
+        #                     forward inside the backward)
+        from grounded_video_llm_tpu.models import llm as llm_mod
+        from grounded_video_llm_tpu.ops.flash_attention import flash_mha
+        from grounded_video_llm_tpu.train.step import (merge_params,
+                                                       partition_params)
+
+        B = batches[0]
+        lm = cfg.llm
+        S_sp = S - 1 + cfg.num_video_tokens
+        batch = make_batch(B)
+        mask = trainable_mask(labels)
+        bwd = {"batch": B, "spliced_len": S_sp}
+
+        def timed(name, fn, *args):
+            try:
+                t0 = time.time()
+                _fetch(fn(*args))
+                print(f"bwd[{name}] compile+first: {time.time()-t0:.1f}s",
+                      file=sys.stderr)
+                t0 = time.time()
+                for _ in range(MEASURE_ITERS):
+                    _fetch(fn(*args))
+                dt = (time.time() - t0) / MEASURE_ITERS
+                print(f"bwd[{name}]: {dt*1000:.0f} ms", file=sys.stderr)
+                return dt
+            except Exception as e:  # noqa: BLE001
+                print(f"bwd[{name}] FAILED: {type(e).__name__}: "
+                      f"{str(e)[:160]}", file=sys.stderr)
+                return None
+
+        # (a) grad program — same partition/dropout as the real step
+        params = fresh_params()
+        trainable, frozen = partition_params(params, mask)
+
+        def lf(t, f, mb):
+            return vlm.forward_loss(merge_params(t, f), cfg, mb, remat=True,
+                                    lora_dropout=stage.lora_dropout,
+                                    dropout_rng=jax.random.key(0))
+
+        grad_fn = jax.jit(jax.value_and_grad(lf))
+        g = timed("value_and_grad", grad_fn, trainable, frozen, batch)
+        if g is not None:
+            bwd["grad_s"] = round(g, 3)
+            bwd["opt_s"] = round(points[0]["step_s"] - g, 3)
+            if phases is not None and "llm_fwd_s" in phases:
+                fwd_s = phases["encode_fwd_s"] + phases["llm_fwd_s"]
+                bwd["bwd_s"] = round(g - fwd_s, 3)
+        del params, trainable, frozen, grad_fn
+
+        # (b) flash attention, one decoder layer at the spliced shape
+        key = jax.random.key(0)
+        q = jax.random.normal(key, (B, S_sp, lm.num_heads, lm.head_dim),
+                              jnp.bfloat16)
+        kv = jax.random.normal(key, (B, S_sp, lm.num_kv_heads, lm.head_dim),
+                               jnp.bfloat16)
+        flash_fwd = jax.jit(lambda q, k, v: flash_mha(q, k, v, causal=True))
+        f_fwd = timed("flash_layer_fwd", flash_fwd, q, kv, kv)
+        flash_grad = jax.jit(jax.grad(
+            lambda q, k, v: flash_mha(q, k, v, causal=True)
+            .astype(jnp.float32).sum()))
+        f_fb = timed("flash_layer_fwd_bwd", flash_grad, q, kv, kv)
+        if f_fwd is not None and f_fb is not None:
+            bwd["flash_layer_fwd_ms"] = round(f_fwd * 1000, 1)
+            bwd["flash_layer_fwd_bwd_ms"] = round(f_fb * 1000, 1)
+            bwd["flash_bwd_total_s"] = round((f_fb - f_fwd) * lm.num_layers,
+                                             3)
+        del q, kv
+
+        # (c) chunked CE from hidden states (incl. lm_head dW — trainable)
+        params = fresh_params()
+        llm_p = params["llm"]
+        hidden = jax.random.normal(key, (B, S_sp, lm.hidden_size),
+                                   jnp.bfloat16)
+        lbl = np.zeros((B, S_sp), np.int32)
+        lbl[:, : S_sp // 2] = -100  # prompt-masked half, like real batches
+        lbl[:, S_sp // 2:] = 7
+        lbl_arr = jnp.asarray(lbl)
+
+        def ce_loss(h, w):
+            p2 = dict(llm_p)
+            p2["lm_head"] = w
+            return llm_mod.causal_lm_loss_from_hidden(p2, h, lbl_arr)
+
+        ce_fwd = timed("ce_fwd", jax.jit(ce_loss), hidden, llm_p["lm_head"])
+        ce_fb = timed("ce_fwd_bwd",
+                      jax.jit(jax.grad(ce_loss, argnums=(0, 1))),
+                      hidden, llm_p["lm_head"])
+        if ce_fwd is not None:
+            bwd["ce_fwd_s"] = round(ce_fwd, 3)
+            if phases is not None and "llm_fwd_s" in phases:
+                bwd["recompute_est_s"] = round(
+                    phases["llm_fwd_s"] - ce_fwd, 3)
+        if ce_fb is not None and ce_fwd is not None:
+            bwd["ce_bwd_s"] = round(ce_fb - ce_fwd, 3)
+        if all(k in bwd for k in ("bwd_s", "flash_bwd_total_s", "ce_bwd_s",
+                                  "recompute_est_s")):
+            bwd["residual_s"] = round(
+                bwd["bwd_s"] - bwd["flash_bwd_total_s"] - bwd["ce_bwd_s"]
+                - bwd["recompute_est_s"], 3)
+        del params, llm_p, hidden
+        print(f"bwd decomposition: {bwd}", file=sys.stderr)
+
+    loader_stats = None
+    if loader_on and "step_s" in points[0]:
+        # ---- real-decode input pipeline overlap (VERDICT r4 task 8) ----
+        # MixGrounded over bench.py's synthesized mp4s: REAL video decode
+        # (C++ libav via read_frames_with_fallback), dual-stream preprocess,
+        # tokenize + collate — produced by DataLoader's prefetch thread while
+        # the device steps. Stall % = time blocked in next(it) / wall.
+        from bench import ensure_bench_videos, ensure_native_decoder
+        from grounded_video_llm_tpu.data.collate import collate
+        from grounded_video_llm_tpu.data.datasets import MixGrounded
+        from grounded_video_llm_tpu.data.loader import DataLoader
+        from grounded_video_llm_tpu.text.templates import get_template
+        from grounded_video_llm_tpu.text.tokenizer import build_test_tokenizer
+
+        B = batches[0]
+        n_steps = 4
+        ensure_native_decoder()
+        videos = ensure_bench_videos(B * (n_steps + 1))
+        anno = [{"question_id": f"q{i}", "video_id": f"v{i}",
+                 "video_file": os.path.basename(v),
+                 "conversation": [
+                     {"from": "human",
+                      "value": "<image>\nDescribe the highlighted moment."},
+                     {"from": "gpt", "value": "From <2.0> to <8.5>."}],
+                 "dataset_name": "bench"} for i, v in enumerate(videos)]
+        anno_path = os.path.join(VIDEO_DIR_ANNO := os.path.dirname(videos[0]),
+                                 "bench_train_anno.json")
+        with open(anno_path, "w") as f:
+            json.dump(anno, f)
+        ds = MixGrounded(anno_path=anno_path, video_path=VIDEO_DIR_ANNO,
+                         num_frames=cfg.num_frames, num_segs=cfg.num_segs,
+                         sample="rand", llm="phi3.5",
+                         fallback_video=videos[0])
+        tok = build_test_tokenizer("phi3.5")
+        # pad_to=S keeps every batch at the compiled step's static shape
+        loader = DataLoader(
+            ds, lambda s: collate(s, tok, get_template("phi3.5"),
+                                  max_txt_len=S, pad_to=S),
+            batch_size=B, shuffle=False, num_workers=1, prefetch_depth=2)
+        state = create_train_state(fresh_params(), tx)
+        it = loader.epoch_iterator()
+        # first batch + first step: warm the decode path + reuse the compiled
+        # step (same shapes as make_batch)
+        t0 = time.time()
+        b0 = next(it)
+        first_batch_s = time.time() - t0
+
+        def to_dev(b):
+            return vlm.Batch(*[jnp.asarray(x) for x in b])
+
+        state, metrics = step(state, to_dev(b0))
+        float(metrics["loss"])
+        stall, t_wall0 = 0.0, time.time()
+        steps_done = 0
+        for _ in range(n_steps):
+            t0 = time.time()
+            try:
+                nb = next(it)
+            except StopIteration:
+                break
+            stall += time.time() - t0
+            state, metrics = step(state, to_dev(nb))
+            float(metrics["loss"])  # barrier
+            steps_done += 1
+        wall = time.time() - t_wall0
+        loader_stats = {
+            "batch": B, "steps": steps_done,
+            "first_batch_s": round(first_batch_s, 2),
+            "loader_stall_s": round(stall, 3),
+            "wall_s": round(wall, 2),
+            "stall_frac": round(stall / wall, 4) if wall else None,
+        }
+        try:
+            from grounded_video_llm_tpu.video.native import decoder
+            loader_stats["decode_path"] = ("native" if decoder.available()
+                                           else "cv2")
+        except Exception:  # noqa: BLE001
+            loader_stats["decode_path"] = "cv2"
+        print(f"loader overlap: stall {stall:.2f}s / {wall:.2f}s wall "
+              f"({100*stall/wall:.1f}%) over {steps_done} steps",
+              file=sys.stderr)
+
     for B in batches[1:]:
         points.append(measure_point(B))
 
@@ -273,6 +485,10 @@ def main():
                "seq_text": S, "points": points}
         if phases is not None:
             rec["phases"] = phases
+        if bwd is not None:
+            rec["bwd_decomposition"] = bwd
+        if loader_stats is not None:
+            rec["loader"] = loader_stats
         print(json.dumps(rec))
         sys.exit(1)
     best = min(ok_points, key=lambda p: p["s_per_sample"])
@@ -294,6 +510,10 @@ def main():
     }
     if phases is not None:
         out["phases"] = phases
+    if bwd is not None:
+        out["bwd_decomposition"] = bwd
+    if loader_stats is not None:
+        out["loader"] = loader_stats
     print(json.dumps(out))
 
 

@@ -700,8 +700,22 @@ class ContinuousServer:
                 raise ValueError(f"unknown warmup kind {kind!r}")
             # budget-1 admission: warms the fused admission program in one
             # dispatch and retires immediately (no chunk dependency on what
-            # token the model happens to emit)
+            # token the model happens to emit). Per-program seconds print to
+            # stderr: warmup cost is dominated by the FIRST compile of the
+            # chunk-program family (~400s on a cold compile service), each
+            # additional variant (chunk_long, different chunk statics) lands
+            # in ~10s on its tail — see BENCH_CHUNK_SYNC_r05.txt vs
+            # BENCH_CONT_PREFIX_r05.txt — so consolidating variants or lazy-
+            # compiling optional paths (spec programs only exist when
+            # spec_draft_len>0, chunk_long only when set) cannot reclaim the
+            # headline; it is compile-service state, not program count.
+            import sys as _sys
+            import time as _time
+
+            t0 = _time.time()
             self.serve([req])
+            print(f"warmup[admission/{kind}]: {_time.time()-t0:.1f}s",
+                  file=_sys.stderr)
 
             # chunk programs, dispatched over an all-deactivated pool (the
             # dummy row above already retired; inactive rows make the
@@ -711,6 +725,7 @@ class ContinuousServer:
             state, out = self.state, None
             for ch in ([self.chunk] + ([self.chunk_long]
                                        if self.chunk_long else [])):
+                t0 = _time.time()
                 if self.spec_draft_len:
                     state, out, _ = _spec_chunk(
                         self.params, state, self.cfg, deact, chunk=ch,
@@ -720,7 +735,10 @@ class ContinuousServer:
                     state, out = _decode_chunk(
                         self.params, state, self.cfg, deact, chunk=ch,
                         rope_len=rope_len, **self.gen_kwargs)
-            np.asarray(out)  # block until compiled + executed
+                np.asarray(out)  # block until compiled + executed
+                print(f"warmup[chunk{ch}"
+                      f"{'/spec' if self.spec_draft_len else ''}]: "
+                      f"{_time.time()-t0:.1f}s", file=_sys.stderr)
         finally:
             # the dummy programs donated the pool state's buffers — start
             # from a clean slate (identical to a fresh server)

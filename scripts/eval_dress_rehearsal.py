@@ -116,7 +116,8 @@ def write_weight_dumps(workdir: str) -> dict:
             mismatches.append(path)
 
     flat_w = jax.tree_util.tree_flatten_with_path(want)[0]
-    flat_g = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    flat_g = {jax.tree_util.keystr(kp): leaf for kp, leaf
+              in jax.tree_util.tree_flatten_with_path(got)[0]}
     for kp, a in flat_w:
         cmp(jax.tree_util.keystr(kp), a, flat_g[jax.tree_util.keystr(kp)])
     n_tensors = len(clip_sd) + len(llm_sd) + len(iv2_sd)
