@@ -23,6 +23,14 @@ Env knobs:
                              flash-bwd share), (c) the chunked-CE fwd and
                              fwd+bwd incl. lm_head dW. Implies PHASES for the
                              recompute estimate. ~5 extra remote compiles.
+  BENCH_TRAIN_ACCUM=N        grad accumulation: each batch point runs N
+                             microbatches of size B through the lax.scan
+                             accumulator (one weight update; global batch
+                             N*B). The path to global batch >=2 on ONE chip:
+                             direct B=2 backward OOMs the ~14.5GB v5e
+                             (PROBE_TRAIN_B2_r05.txt — a real HBM limit, not
+                             the compile helper; the reference's per-device
+                             16 rides 80GB A100s).
   BENCH_TRAIN_LOADER=1       real-decode input-pipeline overlap: build
                              MixGrounded over bench.py's synthesized videos,
                              run the measured steps consuming DataLoader's
@@ -139,6 +147,7 @@ def main():
                                                    make_train_step)
 
     batches = _batches()
+    accum = int(os.environ.get("BENCH_TRAIN_ACCUM", "1"))
     bwd_on = os.environ.get("BENCH_TRAIN_BWD") == "1"
     loader_on = os.environ.get("BENCH_TRAIN_LOADER") == "1"
     phases_on = os.environ.get("BENCH_TRAIN_PHASES") == "1" or bwd_on
@@ -177,7 +186,7 @@ def main():
     shapes = jax.eval_shape(build_params, jax.random.key(0))
 
     tx, labels = make_optimizer(stage, total_steps=100, params=shapes)
-    step = make_train_step(cfg, tx, grad_accum=1, remat=True,
+    step = make_train_step(cfg, tx, grad_accum=accum, remat=True,
                            trainable_mask=trainable_mask(labels),
                            lora_dropout=stage.lora_dropout)
 
@@ -185,7 +194,7 @@ def main():
         rng = np.random.default_rng(0)
         ids = rng.integers(3, 30000, size=(B, S)).astype(np.int32)
         ids[:, 1] = -200
-        return vlm.Batch(
+        b = vlm.Batch(
             input_ids=jnp.asarray(ids), labels=jnp.asarray(ids),
             attn_mask=jnp.ones((B, S), jnp.int32),
             spatial_pixels=jnp.zeros(
@@ -196,6 +205,10 @@ def main():
                  cfg.video.image_size, 3), jnp.bfloat16),
             is_text=jnp.zeros((B,), bool),
         )
+        if accum > 1:  # leading microbatch axis for the lax.scan accumulator
+            b = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (accum,) + x.shape), b)
+        return b
 
     points = []
 
@@ -222,12 +235,14 @@ def main():
                   file=sys.stderr)
             return {"batch": B, "failed": type(e).__name__}
         step_s = (time.time() - t0) / MEASURE_ITERS
-        flops = train_step_flops(shapes, cfg, B, S)
+        n_samples = B * accum
+        flops = train_step_flops(shapes, cfg, B, S) * accum
         mfu = flops / step_s / (V5E_PEAK_TFLOPS * 1e12)
-        print(f"B={B}: step {step_s*1000:.0f} ms — "
-              f"{step_s/B:.2f} s/sample, {flops/1e12:.0f} TFLOP/step, "
+        print(f"B={B}x{accum}: step {step_s*1000:.0f} ms — "
+              f"{step_s/n_samples:.2f} s/sample, {flops/1e12:.0f} TFLOP/step, "
               f"MFU {mfu*100:.1f}%", file=sys.stderr)
-        return {"batch": B, "s_per_sample": round(step_s / B, 4),
+        return {"batch": B, "grad_accum": accum,
+                "s_per_sample": round(step_s / n_samples, 4),
                 "step_s": round(step_s, 4),
                 "model_tflops_per_step": round(flops / 1e12, 1),
                 "mfu": round(mfu, 4)}
@@ -238,7 +253,7 @@ def main():
     points.append(measure_point(batches[0]))
 
     phases = None
-    if phases_on:
+    if phases_on and accum == 1:
         # phase programs are much smaller than the monolithic train step, so
         # they also serve as the PARTIAL artifact when the remote compile
         # service rejects the full step (observed: helper subprocess exit 1
@@ -280,7 +295,7 @@ def main():
             print(f"phases (B={B}): {phases}", file=sys.stderr)
 
     bwd = None
-    if bwd_on and "step_s" in points[0]:
+    if bwd_on and accum == 1 and "step_s" in points[0]:
         # ---- decompose the bwd+opt phase (VERDICT r4 task 3) ----
         # Every leg is its own compiled program at the REAL grounded shape,
         # measured with the fetch-one-element barrier. Attribution:
@@ -395,7 +410,7 @@ def main():
         print(f"bwd decomposition: {bwd}", file=sys.stderr)
 
     loader_stats = None
-    if loader_on and "step_s" in points[0]:
+    if loader_on and accum == 1 and "step_s" in points[0]:
         # ---- real-decode input pipeline overlap (VERDICT r4 task 8) ----
         # MixGrounded over bench.py's synthesized mp4s: REAL video decode
         # (C++ libav via read_frames_with_fallback), dual-stream preprocess,
@@ -492,7 +507,7 @@ def main():
         print(json.dumps(rec))
         sys.exit(1)
     best = min(ok_points, key=lambda p: p["s_per_sample"])
-    pod_samples_per_sec = 8.0 * best["batch"] / best["step_s"]
+    pod_samples_per_sec = 8.0 * best["batch"] * accum / best["step_s"]
     out = {
         "metric": "train_s_per_sample",
         "value": best["s_per_sample"],

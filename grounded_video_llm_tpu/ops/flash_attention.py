@@ -692,17 +692,29 @@ def _flash_bwd_chunked(q, k, v, bias, o, lse, do, scale, window, limit_q,
     return jnp.concatenate(dq_parts, axis=1), dk, dv
 
 
-def _needs_chunking(causal, Sq, Sk) -> bool:
-    # only the causal path ever exceeds the limits (encoder seqs are 2049/577)
+def _needs_chunking(causal, B, Sq, Sk) -> bool:
+    """The 2026-08-20 B=2 probe (scripts/probe_train_b2.py) sharpened the
+    crash law: the helper rejects a kernel iff BOTH B*Sq >~ 7296 AND
+    Sk >~ 7296 — serving prefill (B=6, S=3548: B*Sq=21k but Sk small)
+    compiles, B=1 rectangles 7515x3758 / 3758x7515 compile, and B=2
+    3758x7515 (B*Sq=7516, Sk=7515) fails exactly like the B=1 square.
+    So chunking triggers on the BOTH-large condition (plus the independent
+    huge-Sk VMEM bound), and the q limit divides by B at the call sites."""
     lq, lk = _chunk_limits()
-    return causal and (Sq > lq or Sk > lk)
+    return causal and ((B * Sq > lq and Sk > lq) or Sk > lk)
+
+
+def _limit_q_for(B: int) -> int:
+    lq, _ = _chunk_limits()
+    return max(8, lq // max(B, 1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _flash_mha_core(q, k, v, bias, causal, scale, bounded, window, has_bias):
-    if _needs_chunking(causal, q.shape[1], k.shape[1]):
+    if _needs_chunking(causal, q.shape[0], q.shape[1], k.shape[1]):
         out, _ = _flash_fwd_chunked(q, k, v, bias, scale, window,
-                                    *_chunk_limits())
+                                    _limit_q_for(q.shape[0]),
+                                    _chunk_limits()[1])
     else:
         out, _ = _flash_fwd(q, k, v, bias, scale, causal, bounded, window,
                             has_bias)
@@ -710,9 +722,10 @@ def _flash_mha_core(q, k, v, bias, causal, scale, bounded, window, has_bias):
 
 
 def _core_fwd(q, k, v, bias, causal, scale, bounded, window, has_bias):
-    if _needs_chunking(causal, q.shape[1], k.shape[1]):
+    if _needs_chunking(causal, q.shape[0], q.shape[1], k.shape[1]):
         out, lse = _flash_fwd_chunked(q, k, v, bias, scale, window,
-                                      *_chunk_limits())
+                                      _limit_q_for(q.shape[0]),
+                                      _chunk_limits()[1])
     else:
         out, lse = _flash_fwd(q, k, v, bias, scale, causal, bounded, window,
                               has_bias)
@@ -723,9 +736,10 @@ def _core_bwd(causal, scale, bounded, window, has_bias, residuals, g):
     # softmax replays from the saved logsumexp — identical in bounded and
     # full modes (softmax offset-invariance)
     q, k, v, bias, o, lse = residuals
-    if _needs_chunking(causal, q.shape[1], k.shape[1]):
+    if _needs_chunking(causal, q.shape[0], q.shape[1], k.shape[1]):
         dq, dk, dv = _flash_bwd_chunked(q, k, v, bias, o, lse, g, scale,
-                                        window, *_chunk_limits())
+                                        window, _limit_q_for(q.shape[0]),
+                                        _chunk_limits()[1])
     else:
         dq, dk, dv = _flash_bwd(q, k, v, bias, o, lse, g, scale, causal,
                                 window)

@@ -146,6 +146,46 @@ def test_chunked_rectangles_match_unchunked(monkeypatch, sq, sk, hkv):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_chunk_trigger_law_and_batch_scaled_limit(monkeypatch):
+    """The 2026-08-20 B=2 probe law: the helper crashes iff B*Sq AND Sk are
+    both past the threshold, so (a) _needs_chunking triggers on that AND
+    condition — serving prefill (B=6, Sq=Sk=3548 < lq) must NOT chunk —
+    and (b) the q limit divides by B so every rectangle keeps B*Sq_chunk
+    under the proven envelope."""
+    from grounded_video_llm_tpu.ops.flash_attention import (_limit_q_for,
+                                                            _needs_chunking)
+
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK", "6912")
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK_K", "13824")
+    # the r4 grounded square (B=1) and the r5 B=2 case both chunk
+    assert _needs_chunking(True, 1, 7515, 7515)
+    assert _needs_chunking(True, 2, 3758, 7515)
+    # big-batch serving prefill: B*Sq huge but Sk small — no chunking
+    assert not _needs_chunking(True, 6, 3548, 3548)
+    # rectangles with one small side compile (probed r4) — no chunking
+    assert not _needs_chunking(True, 1, 7515, 3758)
+    assert not _needs_chunking(True, 1, 3758, 7515)
+    assert not _needs_chunking(False, 1, 7515, 7515)  # encoder: non-causal
+    # q limit scales down with batch
+    assert _limit_q_for(1) == 6912
+    assert _limit_q_for(2) == 3456
+    assert _limit_q_for(4096) == 8  # alignment floor
+
+
+def test_chunked_batch2_matches_unchunked(monkeypatch):
+    """B=2 with the B-scaled q limit must equal the unchunked kernel — the
+    shape class of the B=2 grounded train step fix."""
+    B, S, H, D = 2, 128, 2, 16
+    q = _rand((B, S, H, D))
+    k, v = _rand((B, S, 1, D), 1), _rand((B, S, 1, D), 2)
+    want = flash_mha(q, k, v, causal=True)
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK", "96")  # B=2 -> limit_q 48
+    monkeypatch.setenv("GVLLM_FLASH_CHUNK_K", "1024")
+    got = flash_mha(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_chunked_backward_matches_xla(monkeypatch):
     B, S, H, D = 1, 160, 4, 16
     q = _rand((B, S, H, D))
