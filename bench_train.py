@@ -24,13 +24,16 @@ Env knobs:
                              fwd+bwd incl. lm_head dW. Implies PHASES for the
                              recompute estimate. ~5 extra remote compiles.
   BENCH_TRAIN_ACCUM=N        grad accumulation: each batch point runs N
-                             microbatches of size B through the lax.scan
-                             accumulator (one weight update; global batch
-                             N*B). The path to global batch >=2 on ONE chip:
-                             direct B=2 backward OOMs the ~14.5GB v5e
-                             (PROBE_TRAIN_B2_r05.txt — a real HBM limit, not
-                             the compile helper; the reference's per-device
-                             16 rides 80GB A100s).
+                             microbatches of size B (one weight update;
+                             global batch N*B). The path to global batch >=2
+                             on ONE chip: direct B=2 backward OOMs the
+                             ~14.5GB v5e (PROBE_TRAIN_B2_r05.txt — a real
+                             HBM limit; the reference's per-device 16 rides
+                             80GB A100s). Uses make_host_accum_step by
+                             default: the lax.scan-wrapped accum program is
+                             REJECTED by the axon compile helper at accum>=2
+                             (both at GVLLM_FLASH_CHUNK 6912 and 4608);
+                             BENCH_TRAIN_ACCUM_SCAN=1 re-probes the scan.
   BENCH_TRAIN_LOADER=1       real-decode input-pipeline overlap: build
                              MixGrounded over bench.py's synthesized videos,
                              run the measured steps consuming DataLoader's
@@ -186,9 +189,22 @@ def main():
     shapes = jax.eval_shape(build_params, jax.random.key(0))
 
     tx, labels = make_optimizer(stage, total_steps=100, params=shapes)
-    step = make_train_step(cfg, tx, grad_accum=accum, remat=True,
-                           trainable_mask=trainable_mask(labels),
-                           lora_dropout=stage.lora_dropout)
+    accum_scan = os.environ.get("BENCH_TRAIN_ACCUM_SCAN") == "1"
+    if accum > 1 and not accum_scan:
+        from grounded_video_llm_tpu.train.step import make_host_accum_step
+
+        # bf16 accumulator: the fp32 one OOMed next to 10.2GB params + 2.3GB
+        # Adam moments on one v5e; bf16 matches the reference's FSDP bf16
+        # reduce dtype (see make_host_accum_step docstring)
+        step = make_host_accum_step(
+            cfg, tx, grad_accum=accum, remat=True,
+            trainable_mask=trainable_mask(labels),
+            lora_dropout=stage.lora_dropout, accum_dtype=jnp.bfloat16,
+            remat_group=int(os.environ.get("BENCH_TRAIN_REMAT_GROUP", "2")))
+    else:
+        step = make_train_step(cfg, tx, grad_accum=accum, remat=True,
+                               trainable_mask=trainable_mask(labels),
+                               lora_dropout=stage.lora_dropout)
 
     def make_batch(B: int) -> vlm.Batch:
         rng = np.random.default_rng(0)

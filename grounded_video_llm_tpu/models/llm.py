@@ -211,6 +211,7 @@ def forward_hidden(
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     rope_hint: Optional[int] = None,
+    remat_group: int = 1,
 ):
     """Run all decoder layers; returns (hidden [B,S,D], stacked (k,v) or None).
 
@@ -286,7 +287,40 @@ def forward_hidden(
             k, v = jnp.pad(k, pad), jnp.pad(v, pad)
         return h2, (k, v)
 
-    x, kvs = jax.lax.scan(body, x, (params["layers"], layer_keys))
+    if remat and remat_group > 1 and not collect_kv:
+        # GROUPED remat: checkpoint every remat_group layers instead of every
+        # layer — the saved boundary activations shrink by the group factor
+        # ([B,S,D] x L/g instead of x L) while total recompute is UNCHANGED
+        # (each group's backward replays its g layers once, exactly like g
+        # per-layer checkpoints). The memory margin this buys (~0.75GB at the
+        # grounded flagship with g=2) is what lets host-loop grad
+        # accumulation fit beside 10.2GB params + Adam moments on one v5e
+        # (BENCH_TRAIN_r05.json). Training-only: collect_kv paths never remat.
+        g = remat_group
+        L = params["layers"]["input_norm_w"].shape[0]
+        if L % g:
+            raise ValueError(f"remat_group {g} must divide num_layers {L}")
+        glayers = jax.tree_util.tree_map(
+            lambda a: a.reshape(L // g, g, *a.shape[1:]), params["layers"])
+        gkeys = (layer_keys.reshape(L // g, g) if layer_keys is not None
+                 else None)
+
+        @jax.checkpoint
+        def group_fn(h, xs):
+            lp_g, keys_g = xs
+
+            def inner(h2, xs2):
+                lp, key_l = xs2
+                drop = None if key_l is None else (lora_dropout, key_l)
+                h3, _ = _layer_full(h2, lp, cfg, cos, sin, attn_mask, drop)
+                return h3, None
+
+            h, _ = jax.lax.scan(inner, h, (lp_g, keys_g))
+            return h, None
+
+        x, kvs = jax.lax.scan(group_fn, x, (glayers, gkeys))
+    else:
+        x, kvs = jax.lax.scan(body, x, (params["layers"], layer_keys))
     x = rms_norm(x, params["final_norm_w"], cfg.rms_eps)
     return x, kvs
 

@@ -271,7 +271,7 @@ def forward_loss(params, cfg: VLMConfig, batch: Batch,
                  remat: bool = False, freeze_encoders: bool = True,
                  lora_dropout: float = 0.0,
                  dropout_rng: Optional[jax.Array] = None,
-                 mesh=None) -> jnp.ndarray:
+                 mesh=None, remat_group: int = 1) -> jnp.ndarray:
     """Full multimodal forward → scalar CE loss (reference :598-614).
 
     lora_dropout + dropout_rng: training-only dropout on the LoRA branch
@@ -288,7 +288,8 @@ def forward_loss(params, cfg: VLMConfig, batch: Batch,
     hidden, _ = llm_mod.forward_hidden(params["llm"], cfg.llm, embeds,
                                        attn_mask=mask, remat=remat,
                                        lora_dropout=lora_dropout,
-                                       dropout_rng=dropout_rng)
+                                       dropout_rng=dropout_rng,
+                                       remat_group=remat_group)
     # sequence-chunked CE: the full fp32 [S, V] logits (2 x 930MB at the
     # grounded length) never materialize — see causal_lm_loss_from_hidden
     return llm_mod.causal_lm_loss_from_hidden(params["llm"], hidden, labels,

@@ -473,8 +473,13 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, window=None,
     if q_offset is None:
         q_offset = Sk - Sq
 
-    block_q = min(128, -(-Sq // 8) * 8)
-    block_k = 256
+    # 128/256 fits scoped vmem at the grounded shapes (the r3 two-kernel
+    # redesign); env overrides for block-size probes (scripts/
+    # microbench_flash_bwd_blocks.py measured the alternatives — see note
+    # there before changing the defaults)
+    block_q = int(os.environ.get("GVLLM_FLASH_BWD_BQ", "0")) or \
+        min(128, -(-Sq // 8) * 8)
+    block_k = int(os.environ.get("GVLLM_FLASH_BWD_BK", "0")) or 256
     Sq_p = -(-Sq // block_q) * block_q
     Sk_p = -(-Sk // block_k) * block_k
 

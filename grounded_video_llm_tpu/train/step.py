@@ -21,6 +21,7 @@ so jit runs the step SPMD across the mesh with no in_shardings plumbing.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -158,6 +159,93 @@ def make_train_step(cfg: VLMConfig, tx, grad_accum: int = 1,
                  "grad_norm": gnorm.astype(jnp.float32)})
 
     return jax.jit(step_fn, donate_argnums=0)
+
+
+def make_host_accum_step(cfg: VLMConfig, tx, grad_accum: int,
+                         remat: bool = True, trainable_mask=None,
+                         lora_dropout: float = 0.0, dropout_seed: int = 0,
+                         mesh: Mesh | None = None, accum_dtype=jnp.float32,
+                         remat_group: int = 1):
+    """Gradient accumulation as a HOST loop: one jitted value_and_grad
+    program per microbatch + a fp32 on-device accumulator + one donating
+    optimizer-apply program.
+
+    Semantically identical to make_train_step(grad_accum=N) — same
+    normalized mean, same per-microbatch dropout key derivation
+    (fold_in(dropout_seed, step) then split) — but the fwd+bwd never wraps
+    in lax.scan: the scanned grounded-step program trips the axon
+    compile-helper at accum>=2 (BENCH_TRAIN_r05.json / PROBE_TRAIN_B2_r05)
+    while each constituent program compiles fine. Costs one materialized
+    trainable-grad tree (~0.4GB for lm_head+embed+LoRA) and ~25ms dispatch
+    per microbatch — noise against the multi-second microbatch step.
+    tests/test_train.py asserts parity with the scan path on CPU."""
+    if trainable_mask is None:
+        raise ValueError("make_host_accum_step requires trainable_mask "
+                         "(full-tree grads OOM the flagship)")
+
+    def lf(t, f, mb, r):
+        return vlm.forward_loss(merge_params(t, f), cfg, mb, remat=remat,
+                                lora_dropout=lora_dropout, dropout_rng=r,
+                                mesh=mesh, remat_group=remat_group)
+
+    # accumulation FUSED into the grad program (donating the carry): a
+    # separate accumulate program materializes the microbatch grads as
+    # program outputs plus a second copy in the add — measured OOM at the
+    # flagship (params+opt ~10GB leave no room for two extra grad trees).
+    # This is exactly the scan body's footprint, one microbatch per dispatch.
+    @functools.partial(jax.jit, donate_argnums=(4,))
+    def grad_accum_fn(trainable, frozen, mb, r, carry):
+        loss, grads = jax.value_and_grad(lf)(trainable, frozen, mb, r)
+        loss_sum, grad_sum = carry
+        return (loss_sum + loss,
+                jax.tree_util.tree_map(lambda a, g: a + g.astype(a.dtype),
+                                       grad_sum, grads))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def apply(state: TrainState, loss_sum, grad_sum):
+        # re-partition INSIDE the program: passing the loop's trainable/
+        # frozen views alongside the donated state would hand the same
+        # buffers in twice (they alias state.params)
+        trainable, frozen = partition_params(state.params, trainable_mask)
+        loss = loss_sum / grad_accum
+        g_train = jax.tree_util.tree_map(
+            lambda g, p: (g / grad_accum).astype(p.dtype),
+            grad_sum, trainable)
+        zeros_frozen = jax.tree_util.tree_map(jnp.zeros_like, frozen)
+        grads = merge_params(g_train, zeros_frozen)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(jax.tree_util.tree_leaves(g_train))
+        return (TrainState(params, opt_state, state.step + 1),
+                {"loss": loss.astype(jnp.float32),
+                 "grad_norm": gnorm.astype(jnp.float32)})
+
+    # accum_dtype: fp32 matches the lax.scan path exactly; bf16 halves the
+    # held accumulator (~0.4GB at the flagship — the margin that OOMed the
+    # fp32 version on one v5e next to 10.2GB params + 2.3GB moments) and
+    # matches the reference's FSDP bf16 reduce dtype
+    # (training/fsdp.py MixedPrecision reduce_buffer_dtype).
+    @jax.jit
+    def zeros_like_trainable(t):
+        return jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, accum_dtype), t)
+
+    def step_fn(state: TrainState, batch: vlm.Batch):
+        trainable, frozen = partition_params(state.params, trainable_mask)
+        mb_rngs = None
+        if lora_dropout > 0.0:
+            step_rng = jax.random.fold_in(jax.random.key(dropout_seed),
+                                          state.step)
+            mb_rngs = jax.random.split(step_rng, grad_accum)
+        carry = (jnp.zeros((), jnp.float32), zeros_like_trainable(trainable))
+        for i in range(grad_accum):
+            mb = jax.tree_util.tree_map(lambda x: x[i], batch)
+            r = mb_rngs[i] if mb_rngs is not None else None
+            carry = grad_accum_fn(trainable, frozen, mb, r, carry)
+        del trainable, frozen  # alias state.params, which apply donates
+        return apply(state, *carry)
+
+    return step_fn
 
 
 def shard_batch(batch: vlm.Batch, mesh: Mesh, grad_accum: int = 1) -> vlm.Batch:

@@ -116,6 +116,72 @@ def test_grad_accum_matches_big_batch():
         rtol=1e-4, atol=1e-6)
 
 
+def test_host_accum_matches_scan_accum():
+    """make_host_accum_step (per-microbatch grad programs + device
+    accumulator + donating apply) must reproduce make_train_step's lax.scan
+    accumulation — the axon compile-helper rejects the SCANNED grounded-step
+    program at accum>=2 (PROBE_TRAIN_B2_r05), so the host loop is the
+    production accumulation path there; this pins its semantics."""
+    from grounded_video_llm_tpu.train.optimizer import trainable_mask
+    from grounded_video_llm_tpu.train.step import make_host_accum_step
+
+    cfg = micro_vlm_config()
+    stage = STAGE_PRESETS["grounded"]
+    params = vlm.init_params(jax.random.key(0), cfg)
+    from grounded_video_llm_tpu.train import lora as lora_mod
+
+    params["llm"] = lora_mod.attach_lora(
+        params["llm"], lora_mod.init_lora(jax.random.key(1), cfg.llm, rank=4))
+    tx, labels = make_optimizer(stage, total_steps=100, params=params)
+    mask = trainable_mask(labels)
+    params_b = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    batch = _make_batch(cfg, B=1, accum=2, seed=5)
+
+    state_a = create_train_state(params, tx)
+    step_a = make_train_step(cfg, tx, grad_accum=2, remat=False,
+                             trainable_mask=mask,
+                             lora_dropout=stage.lora_dropout)
+    new_a, m_a = step_a(state_a, batch)
+
+    state_b = create_train_state(params_b, tx)
+    step_b = make_host_accum_step(cfg, tx, grad_accum=2, remat=False,
+                                  trainable_mask=mask,
+                                  lora_dropout=stage.lora_dropout)
+    new_b, m_b = step_b(state_b, batch)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_a["grad_norm"]),
+                               float(m_b["grad_norm"]), rtol=1e-5)
+    for key in ("lm_head", "embed"):
+        np.testing.assert_allclose(
+            np.asarray(new_a.params["llm"][key], np.float32),
+            np.asarray(new_b.params["llm"][key], np.float32),
+            rtol=1e-5, atol=1e-7)
+    # a second step still runs (donation left no stale buffers behind)
+    new_b2, _ = step_b(new_b, batch)
+    assert int(new_b2.step) == 2
+
+    # bf16 accumulator (the flagship's HBM-fitting mode, reference FSDP
+    # bf16 reduce dtype): same semantics within bf16 resolution
+    params_c = vlm.init_params(jax.random.key(0), cfg)
+    params_c["llm"] = lora_mod.attach_lora(
+        params_c["llm"],
+        lora_mod.init_lora(jax.random.key(1), cfg.llm, rank=4))
+    state_c = create_train_state(params_c, tx)
+    import jax.numpy as jnp
+
+    step_c = make_host_accum_step(cfg, tx, grad_accum=2, remat=False,
+                                  trainable_mask=mask,
+                                  lora_dropout=stage.lora_dropout,
+                                  accum_dtype=jnp.bfloat16)
+    _, m_c = step_c(state_c, batch)
+    np.testing.assert_allclose(float(m_c["loss"]), float(m_a["loss"]),
+                               rtol=1e-6)  # loss accumulates in fp32 always?
+    np.testing.assert_allclose(float(m_c["grad_norm"]),
+                               float(m_a["grad_norm"]), rtol=2e-2)
+
+
 def test_lora_attach_train_merge():
     cfg = micro_vlm_config()
     lcfg = cfg.llm
