@@ -307,15 +307,15 @@ def forward_hidden(
 
         @jax.checkpoint
         def group_fn(h, xs):
+            # inner layers UNROLLED (python loop), not a nested lax.scan:
+            # the axon compile helper rejects the scan-in-checkpoint-in-scan
+            # program shape outright (2026-08-20)
             lp_g, keys_g = xs
-
-            def inner(h2, xs2):
-                lp, key_l = xs2
+            for j in range(g):
+                lp = jax.tree_util.tree_map(lambda a: a[j], lp_g)
+                key_l = keys_g[j] if keys_g is not None else None
                 drop = None if key_l is None else (lora_dropout, key_l)
-                h3, _ = _layer_full(h2, lp, cfg, cos, sin, attn_mask, drop)
-                return h3, None
-
-            h, _ = jax.lax.scan(inner, h, (lp_g, keys_g))
+                h, _ = _layer_full(h, lp, cfg, cos, sin, attn_mask, drop)
             return h, None
 
         x, kvs = jax.lax.scan(group_fn, x, (glayers, gkeys))

@@ -182,6 +182,43 @@ def test_host_accum_matches_scan_accum():
                                float(m_a["grad_norm"]), rtol=2e-2)
 
 
+def test_remat_group_matches_per_layer():
+    """Grouped checkpointing (remat_group=2, unrolled inner layers) must be
+    a pure memory/program-shape change: identical loss and gradients vs the
+    per-layer remat scan."""
+    import jax.numpy as jnp
+
+    from grounded_video_llm_tpu.train.optimizer import trainable_mask
+    from grounded_video_llm_tpu.train.step import (merge_params,
+                                                   partition_params)
+
+    cfg = micro_vlm_config()
+    params = vlm.init_params(jax.random.key(0), cfg)
+    stage = STAGE_PRESETS["grounded"]
+    tx, labels = make_optimizer(stage, total_steps=10, params=params)
+    mask = trainable_mask(labels)
+    trainable, frozen = partition_params(params, mask)
+    batch = _make_batch(cfg, B=1, seed=9)
+
+    def loss_for(group):
+        def lf(t):
+            return vlm.forward_loss(merge_params(t, frozen), cfg, batch,
+                                    remat=True, remat_group=group)
+
+        return jax.value_and_grad(lf)(trainable)
+
+    l1, g1 = loss_for(1)
+    l2, g2 = loss_for(2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_lora_attach_train_merge():
     cfg = micro_vlm_config()
     lcfg = cfg.llm
