@@ -283,12 +283,23 @@ def test_llama_parity_with_reference():
 # ---------------------------------------------------------------------------
 
 
+def _mk_stub(name):
+    """Stub module with a real __spec__ so importlib.util.find_spec on it
+    (e.g. from transformers' lazy imports in a later test file sharing this
+    process) doesn't raise ``ValueError: <name>.__spec__ is None``."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
 def _stub_timm():
     if "timm" in sys.modules:
         return
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    layers = types.ModuleType("timm.models.layers")
+    timm = _mk_stub("timm")
+    models = _mk_stub("timm.models")
+    layers = _mk_stub("timm.models.layers")
 
     class DropPath(torch.nn.Module):
         def __init__(self, p=0.0):
@@ -310,10 +321,10 @@ def _stub_timm():
     sys.modules["timm.models.layers"] = layers
 
     # flash_attn is imported at module top but unused with use_flash_attn=False
-    fa = types.ModuleType("flash_attn")
-    fai = types.ModuleType("flash_attn.flash_attn_interface")
+    fa = _mk_stub("flash_attn")
+    fai = _mk_stub("flash_attn.flash_attn_interface")
     fai.flash_attn_varlen_qkvpacked_func = None
-    fbp = types.ModuleType("flash_attn.bert_padding")
+    fbp = _mk_stub("flash_attn.bert_padding")
     fbp.unpad_input = None
     fbp.pad_input = None
     fa.flash_attn_interface = fai
