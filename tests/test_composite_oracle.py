@@ -95,6 +95,10 @@ def _stub_absent_deps():
     # oracle never reaches — placeholder objects suffice.
     if "torchvision" not in sys.modules:
         tv = _mk_module("torchvision")
+        # flag the stub so tests that importorskip("torchvision") in the same
+        # process (test_preprocess.test_torchvision_parity) can detect it and
+        # still skip instead of failing on the placeholder objects
+        tv.__GVLLM_TEST_STUB__ = True
         tr = _mk_module("torchvision.transforms")
         for n in ("Normalize", "Compose", "ToTensor", "Resize", "CenterCrop",
                   "ToPILImage"):

@@ -47,6 +47,10 @@ def test_xla_close_to_host():
 
 def test_torchvision_parity():
     torchvision = pytest.importorskip("torchvision")
+    if getattr(torchvision, "__GVLLM_TEST_STUB__", False):
+        # test_composite_oracle injects a placeholder torchvision for the
+        # reference import; a stub can't run the real transform chain
+        pytest.skip("torchvision in sys.modules is a test stub")
     import torch
     from torchvision.transforms import (CenterCrop, Compose, InterpolationMode,
                                         Normalize, Resize, ToPILImage, ToTensor)
