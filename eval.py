@@ -49,7 +49,7 @@ def parse_args():
     p.add_argument("--llm", default="phi3.5",
                    choices=["phi3.5", "llama3", "vicuna"])
     p.add_argument("--benchmark", default="grounding",
-                   choices=["grounding", "gqa", "mc"])
+                   choices=["grounding", "gqa", "mc", "captioning"])
     p.add_argument("--anno_path", required=True)
     p.add_argument("--anno_format", default="json",
                    choices=["json", "jsonl", "charades_sta"])
@@ -148,7 +148,7 @@ def run_quantize_ab(args, cfg) -> int:
     annos = load_annotations(args.anno_path, args.anno_format)
     items = annos[:args.ab_items]
     mode = {"grounding": "grounding", "gqa": "grounding",
-            "mc": "qa"}[args.benchmark]
+            "mc": "qa", "captioning": "grounding"}[args.benchmark]
     ids, mask, spatial, temporal = quant_ab.prepare_ab_inputs(
         engine, items, args.video_root, mode)
 
@@ -217,6 +217,7 @@ def main():
                                                           build_tokenizer)
     from grounded_video_llm_tpu.core.config import GenerateConfig, vlm_config
     from grounded_video_llm_tpu.serve.engine import InferenceEngine
+    from grounded_video_llm_tpu.serve.captioning import eval_dense_captioning
     from grounded_video_llm_tpu.serve.eval import (eval_gqa, eval_grounding,
                                                    eval_multiple_choice)
 
@@ -246,7 +247,11 @@ def main():
 
     annos = load_annotations(args.anno_path, args.anno_format)
     runner = {"grounding": eval_grounding, "gqa": eval_gqa,
-              "mc": eval_multiple_choice}[args.benchmark]
+              "mc": eval_multiple_choice,
+              # ActivityNet-Captions SODA_c/METEOR (reference README.md:31-34)
+              # — annotations are the official {video_id: {duration,
+              # timestamps, sentences}} val json (use --anno_format json)
+              "captioning": eval_dense_captioning}[args.benchmark]
     metrics = runner(engine, annos, video_root=args.video_root,
                      max_items=args.max_items, batch_size=args.batch_size)
 

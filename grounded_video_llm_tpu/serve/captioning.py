@@ -5,13 +5,15 @@ metrics (reference README.md:31-34) but ships no eval code; the official
 scorers are a Java METEOR jar + the SODA repo, neither available here. This
 module implements both from their published definitions in pure Python:
 
-  * METEOR — exact-match variant of METEOR 1.0 (Banerjee & Lavie 2005):
-    unigram alignment (each word used at most once, earliest-position
+  * METEOR — staged-match variant of METEOR 1.0 (Banerjee & Lavie 2005):
+    unigram alignment in two stages, exact surface forms then equal Porter
+    stems among the still-unmatched words (text/porter.py implements the
+    published 1980 algorithm; each word used at most once, earliest-position
     matching), F_mean = 10PR/(R+9P), fragmentation penalty
-    0.5*(chunks/matches)^3, score = F_mean*(1-penalty). Deviation from the
-    Java tool: no Porter stemming or WordNet synonym stage (those need assets
-    with no offline equivalent), so absolute values run slightly lower than
-    the official scorer but rank systems identically on exact-match overlap.
+    0.5*(chunks/matches)^3, score = F_mean*(1-penalty). Remaining deviation
+    from the Java tool: no WordNet synonym stage (the WordNet database has
+    no offline equivalent here), so absolute values can run slightly lower
+    than the official scorer on synonym-heavy text.
 
   * Dense-caption METEOR — the ActivityNet Challenge protocol: at each tIoU
     threshold in {0.3,0.5,0.7,0.9} score every prediction against the
@@ -47,22 +49,33 @@ def _tokens(text: str) -> List[str]:
 
 
 def meteor_score(hypothesis: str, reference: str) -> float:
-    """Exact-match METEOR between two sentences (module docstring)."""
+    """Staged-match METEOR between two sentences (module docstring)."""
+    from ..text.porter import porter_stem
+
     hyp = _tokens(hypothesis)
     ref = _tokens(reference)
     if not hyp or not ref:
         return 0.0
 
-    # earliest-position unigram alignment: hyp word i -> first unused
-    # identical ref word
+    # staged earliest-position unigram alignment (METEOR 1.0): stage 1 on
+    # exact surface forms, stage 2 on equal Porter stems among the words
+    # both sides left unmatched; each word used at most once
     used = [False] * len(ref)
+    taken = [False] * len(hyp)
     align: List[Tuple[int, int]] = []
-    for i, w in enumerate(hyp):
-        for j, r in enumerate(ref):
-            if not used[j] and r == w:
-                used[j] = True
-                align.append((i, j))
-                break
+    for hyp_key, ref_key in ((hyp, ref),
+                             ([porter_stem(w) for w in hyp],
+                              [porter_stem(r) for r in ref])):
+        for i, w in enumerate(hyp_key):
+            if taken[i]:
+                continue
+            for j, r in enumerate(ref_key):
+                if not used[j] and r == w:
+                    used[j] = True
+                    taken[i] = True
+                    align.append((i, j))
+                    break
+    align.sort()
     m = len(align)
     if m == 0:
         return 0.0

@@ -42,6 +42,19 @@ def test_eval_mc_driver(engine, demo_video):
     assert 0.0 <= out["accuracy"] <= 100.0
 
 
+def test_eval_captioning_driver(engine, demo_video):
+    from grounded_video_llm_tpu.serve.captioning import eval_dense_captioning
+
+    vid = os.path.basename(demo_video)[:-4]  # driver appends .mp4
+    annos = {vid: {"duration": 6.0, "timestamps": [[0.0, 3.0], [3.0, 6.0]],
+                   "sentences": ["a car drives", "the car stops"]}}
+    out = eval_dense_captioning(engine, annos,
+                                video_root=os.path.dirname(demo_video),
+                                max_items=1, batch_size=1)
+    assert set(out) == {"SODA_c", "METEOR"}
+    assert all(0.0 <= v <= 100.0 for v in out.values())
+
+
 def test_run_batch(engine, demo_video):
     res = engine.run_batch([demo_video, demo_video],
                            ["What happens?", "When does the car move?"],
