@@ -231,6 +231,42 @@ def main():
         print(f"eval.py chain: {t_eval:.1f}s, metrics="
               f"{metrics.get('metrics')}", file=sys.stderr)
 
+        # captioning leg: the OTHER BASELINE.md metric family (ActivityNet-
+        # Captions SODA_c/METEOR) through the same checkpoint + weights gate
+        vids = sorted(os.path.splitext(v)[0]
+                      for v in os.listdir(data["video_root"]))[:2]
+        cap_annos = {v: {"duration": 6.0,
+                         "timestamps": [[0.0, 3.0], [3.0, 6.0]],
+                         "sentences": ["a shape moves across the frame",
+                                       "the shape leaves the frame"]}
+                     for v in vids}
+        cap_anno_path = os.path.join(args.workdir, "anet_captions_dryrun.json")
+        with open(cap_anno_path, "w") as f:
+            json.dump(cap_annos, f)
+        cap_json = os.path.join(args.workdir, "eval_captioning.json")
+        cap_cmd = list(cmd)
+        cap_cmd[cap_cmd.index("--benchmark") + 1] = "captioning"
+        cap_cmd[cap_cmd.index("--anno_path") + 1] = cap_anno_path
+        cap_cmd[cap_cmd.index("--anno_format") + 1] = "json"
+        cap_cmd[cap_cmd.index("--out") + 1] = cap_json
+        t2 = time.time()
+        proc = subprocess.run(cap_cmd, capture_output=True, text=True,
+                              cwd=REPO, timeout=3000)
+        if proc.returncode != 0:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"eval.py captioning failed rc={proc.returncode}")
+        with open(cap_json) as f:
+            cap_metrics = json.load(f)
+        result.update({
+            "eval_captioning_s": round(time.time() - t2, 1),
+            "eval_captioning": cap_metrics,
+            "baseline_md_row_captioning":
+                "ActivityNet-Captions SODA_c / METEOR",
+        })
+        print(f"eval.py captioning chain: {time.time()-t2:.1f}s, metrics="
+              f"{cap_metrics.get('metrics')}", file=sys.stderr)
+
     blob = json.dumps(result, indent=1)
     print(blob)
     if args.artifact:
